@@ -1,0 +1,16 @@
+"""Test configuration.
+
+Device-kernel parity and sharding tests run on a virtual 8-device CPU mesh
+so they exercise the same program the TPU runs, deterministically and
+without requiring hardware. Set ATROPOS_TPU_TEST_REAL_DEVICE=1 to run on
+whatever real accelerator is attached instead.
+"""
+import os
+
+if not os.environ.get("ATROPOS_TPU_TEST_REAL_DEVICE"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
