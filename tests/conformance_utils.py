@@ -1,0 +1,104 @@
+"""Conformance-test harness.
+
+Runs the trim command in-process against the upstream Atropos test inputs
+(``tests/conformance/data``) and asserts byte-identical output against the
+upstream golden files (``tests/conformance/expected``). This is the
+bit-exactness oracle for the whole framework.
+"""
+import os
+
+from atropos_tpu.io import xopen
+
+CONFORMANCE_DIR = os.path.join(os.path.dirname(__file__), "conformance")
+
+
+def datapath(path):
+    return os.path.join(CONFORMANCE_DIR, "data", path)
+
+
+def cutpath(path):
+    return os.path.join(CONFORMANCE_DIR, "expected", path)
+
+
+def read_any(path):
+    """Read full (possibly compressed) file contents as text."""
+    with xopen(path, "r") as infile:
+        return infile.read()
+
+
+def assert_files_equal(expected_path, actual_path):
+    expected = read_any(expected_path)
+    actual = read_any(actual_path)
+    if expected != actual:
+        import difflib
+
+        diff = "\n".join(
+            difflib.unified_diff(
+                expected.splitlines(),
+                actual.splitlines(),
+                fromfile=str(expected_path),
+                tofile=str(actual_path),
+                lineterm="",
+            )
+        )
+        raise AssertionError(
+            "Output differs from golden file {}:\n{}".format(expected_path, diff)
+        )
+
+
+def run_trim(
+    tmp_path,
+    params,
+    expected,
+    inpath=None,
+    inpath2=None,
+    qualfile=None,
+    interleaved_input=False,
+    interleaved_output=False,
+    aligner=None,
+    assert_files=True,
+):
+    """Execute the trim command in-process; compare against the golden file.
+
+    Mirrors the upstream harness (``tests/utils.py:run``): builds an argv,
+    executes via the command registry, and diffs the output.
+    """
+    import traceback
+
+    from atropos_tpu.commands import get_command
+
+    if isinstance(params, str):
+        params = params.split()
+    tmp_fastaq = str(tmp_path / expected)
+    if interleaved_input:
+        params += ["-l", datapath(inpath)]
+    elif inpath2:
+        params += ["-pe1", datapath(inpath)]
+        params += ["-pe2", datapath(inpath2)]
+    else:
+        params += ["-se", datapath(inpath)]
+        if qualfile:
+            params += ["-sq", datapath(qualfile)]
+    if interleaved_output:
+        params += ["-L", tmp_fastaq]
+    else:
+        params += ["-o", tmp_fastaq]
+    # keep the adapter-cache file out of the repo working directory
+    params += ["--adapter-cache-file", str(tmp_path / ".adapters")]
+    # reports to a scratch file, not stdout
+    params += ["--report-file", str(tmp_path / "report.txt"), "--quiet"]
+
+    command = get_command("trim")
+    retcode, summary = command.execute(params)
+    assert summary is not None
+    assert isinstance(summary, dict)
+    if "exception" in summary and summary["exception"] is not None:
+        assert retcode != 0
+        err = summary["exception"]
+        traceback.print_exception(*err["details"])
+        raise Exception("Unexpected error: {}".format(err["message"]))
+    assert retcode == 0
+    assert os.path.exists(tmp_fastaq)
+    if assert_files:
+        assert_files_equal(cutpath(expected), tmp_fastaq)
+    return summary
