@@ -87,8 +87,13 @@ def _print_trim_sections(summary, out):
             continue
         if isinstance(adapters, (list, tuple)):
             for read, read_adapters in enumerate(adapters, 1):
+                if not read_adapters:
+                    continue
                 for name, adapter in read_adapters.items():
-                    _print_adapter("{} (read {})".format(name, read), adapter, out)
+                    if adapter:
+                        _print_adapter(
+                            "{} (read {})".format(name, read), adapter, out
+                        )
         else:
             if isinstance(next(iter(adapters.values()), None), dict) and all(
                 isinstance(v, dict) for v in adapters.values()
