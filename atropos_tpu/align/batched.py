@@ -1,0 +1,603 @@
+"""Batched TPU implementation of the semi-global alignment kernels.
+
+This is the performance engine: the same DP the scalar oracle
+(:mod:`atropos_tpu.align.oracle`) specifies, vectorized over a batch of
+reads on the VPU. One kernel invocation aligns one adapter against B reads
+simultaneously.
+
+Design notes (TPU-first):
+
+- **Column scan with per-read band state.** The reference kernel is
+  column-sequential with Ukkonen banding whose band (``last``) evolves
+  per column from computed costs, and abandoned cells keep stale values
+  that are semantically observable. We reproduce this exactly: the j-loop
+  is a ``lax.scan``; all (m+1) rows are computed each column but the
+  writeback is masked to ``i <= last[b]``, and ``last`` is carried per
+  read. This wastes a bounded amount of VPU work in exchange for full
+  vectorization and bit-exact parity.
+
+- **Insertion chain as an associative scan.** Within a column, the cell
+  recurrence has a loop-carried dependency through insertions:
+  ``new[i] = eq ? diag : min(diag+1, old[i]+D, new[i-1]+I)`` with the
+  tie-break order diagonal > insertion > deletion. We express each cell as
+  a min-affine function ``f_i(x) = is_const ? C_i : min(C_i, x + t*I)``
+  (match cells are constants) and compose with
+  ``jax.lax.associative_scan`` in O(log m) steps. Tie-breaks are encoded
+  in an integer subkey (diagonal-born candidates: ``m - i``; deletion-born
+  and forced cells: ``m + i``) which provably reproduces the sequential
+  resolution order for every candidate pair.
+
+- **No float math.** All error-rate comparisons (``cost <= length *
+  max_error_rate``) are precomputed host-side with Python doubles into an
+  integer threshold table indexed by length, so kernel results are
+  bit-exact with the reference's C-double comparisons regardless of
+  device float semantics.
+
+Scalar-kernel reference: ``atropos/align/_align.pyx:121-494`` (Aligner),
+``:548-787`` (MultiAligner).
+"""
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from atropos_tpu.align.flags import (
+    ACGT_TABLE,
+    IUPAC_TABLE,
+    OVERHANG_MULTIPLIER,
+    START_WITHIN_SEQ1,
+    START_WITHIN_SEQ2,
+    STOP_WITHIN_SEQ1,
+    STOP_WITHIN_SEQ2,
+)
+
+NEG_LARGE = jnp.int32(-(2 ** 30))
+POS_LARGE = jnp.int32(2 ** 30)
+
+
+def _upper_table():
+    table = np.arange(256, dtype=np.uint8)
+    for c in range(ord("a"), ord("z") + 1):
+        table[c] = c - 32
+    return table
+
+
+_UPPER = _upper_table()
+
+
+def encode_reads(sequences, pad_to=None, upper=False):
+    """Encode a list of read strings into (uint8 array [B, L], lengths).
+
+    Bytes are raw ASCII (optionally uppercased, which is the caller's
+    semantic responsibility — the kernel itself is case-sensitive like the
+    scalar one); wildcard translation happens on device via lookup tables
+    so one encoded batch serves all adapters.
+    """
+    batch = len(sequences)
+    max_len = max((len(s) for s in sequences), default=0)
+    if pad_to is not None:
+        max_len = max(max_len, pad_to)
+    arr = np.zeros((batch, max_len), dtype=np.uint8)
+    lengths = np.zeros(batch, dtype=np.int32)
+    for idx, seq in enumerate(sequences):
+        encoded = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+        arr[idx, : len(encoded)] = encoded
+        lengths[idx] = len(encoded)
+    if upper:
+        arr = _UPPER[arr]
+    return arr, lengths
+
+
+def _translation_lut(wildcard_ref, wildcard_query, for_query):
+    """256-entry wildcard-translation LUT, mirroring the scalar kernel's
+    rules (``_align.pyx:292-298``): query gets IUPAC if wildcard_query else
+    ACGT if wildcard_ref; reference gets IUPAC if wildcard_ref else ACGT if
+    wildcard_query; identity if neither."""
+    lut = np.arange(256, dtype=np.uint8)
+    if for_query:
+        table = IUPAC_TABLE if wildcard_query else (
+            ACGT_TABLE if wildcard_ref else None
+        )
+    else:
+        table = IUPAC_TABLE if wildcard_ref else (
+            ACGT_TABLE if wildcard_query else None
+        )
+    if table is None:
+        return lut
+    table_arr = np.frombuffer(table, dtype=np.uint8)
+    return table_arr[lut]
+
+
+def _error_thresholds(m, max_error_rate):
+    """thresh[length] = max admissible cost for an alignment of that ref
+    length, computed with Python doubles: cost <= length * max_error_rate
+    <=> cost <= floor(length * max_error_rate) for integer cost."""
+    return np.array(
+        [int(np.floor(length * max_error_rate)) for length in range(m + 1)],
+        dtype=np.int32,
+    )
+
+
+class BatchAligner:
+    """Batched equivalent of the scalar ``Aligner`` for one adapter.
+
+    Construct once per (adapter, parameters); call :meth:`locate_batch`
+    with an encoded read batch. Results are bit-identical to
+    ``oracle.Aligner.locate`` per read.
+    """
+
+    def __init__(
+        self,
+        reference,
+        max_error_rate,
+        flags,
+        wildcard_ref=False,
+        wildcard_query=False,
+        min_overlap=1,
+        indel_cost=1,
+    ):
+        self.reference = reference
+        self.max_error_rate = max_error_rate
+        self.flags = flags
+        self.wildcard_ref = wildcard_ref
+        self.wildcard_query = wildcard_query
+        self.min_overlap = min_overlap
+        self.indel_cost = indel_cost
+
+        m = len(reference)
+        self.m = m
+        ref_b = reference.encode("ascii")
+        if wildcard_ref:
+            ref_b = ref_b.translate(IUPAC_TABLE)
+        elif wildcard_query:
+            ref_b = ref_b.translate(ACGT_TABLE)
+        self._ref_arr = jnp.asarray(
+            np.frombuffer(ref_b, dtype=np.uint8).astype(np.int32)
+        )
+        # query translation happens host-side (np fancy indexing); feeding
+        # raw bytes through a device-side 256-entry LUT gather compiles
+        # pathologically slowly on some TPU backends
+        self._query_lut_np = _translation_lut(
+            wildcard_ref, wildcard_query, for_query=True
+        ).astype(np.int32)
+        self._thresholds = jnp.asarray(_error_thresholds(m, max_error_rate))
+        self.k = int(max_error_rate * m)
+        self._compare_ascii = not (wildcard_ref or wildcard_query)
+
+        self._kernel = jax.jit(
+            functools.partial(
+                _locate_kernel,
+                m=m,
+                k=self.k,
+                flags=flags,
+                min_overlap=min_overlap,
+                ins_cost=indel_cost,
+                del_cost=indel_cost,
+                compare_ascii=self._compare_ascii,
+            )
+        )
+
+    def locate_batch(self, reads_u8, lengths):
+        """Align the adapter to every read in the batch.
+
+        Args:
+            reads_u8: [B, L] uint8 raw ASCII (padding arbitrary).
+            lengths: [B] int32 read lengths.
+
+        Returns:
+            dict of [B] arrays: found (bool), start1, stop1, start2,
+            stop2, matches, cost — matching ``Aligner.locate``'s tuple.
+
+        The initial DP column is built host-side with numpy and passed as
+        a runtime input: embedding batch-sized constants in the compiled
+        executable makes compilation scale with the batch size on some
+        TPU backends.
+        """
+        translated = self._query_lut_np[np.asarray(reads_u8)]
+        lengths = np.asarray(lengths, dtype=np.int32)
+        init = _initial_state_np(
+            lengths,
+            m=self.m,
+            k=self.k,
+            flags=self.flags,
+            ins_cost=self.indel_cost,
+        )
+        return self._kernel(
+            jnp.asarray(translated),
+            jnp.asarray(lengths),
+            self._ref_arr,
+            self._thresholds,
+            *(jnp.asarray(x) for x in init),
+        )
+
+    def locate(self, query):
+        """Scalar-API convenience wrapper (single read)."""
+        reads, lengths = encode_reads([query])
+        out = self.locate_batch(reads, lengths)
+        if not bool(out["found"][0]):
+            return None
+        return tuple(
+            int(out[key][0])
+            for key in ("start1", "stop1", "start2", "stop2", "matches", "cost")
+        )
+
+
+def _initial_state_np(lengths, *, m, k, flags, ins_cost):
+    """Host-side construction of the initial DP column and trackers
+    (reference ``_align.pyx:333-366``): cost0/pay0 [m+1, B], last0 [1, B],
+    best cost init [1, B], done0 [1, B]."""
+    start_in_ref = bool(flags & START_WITHIN_SEQ1)
+    start_in_query = bool(flags & START_WITHIN_SEQ2)
+    stop_in_query = bool(flags & STOP_WITHIN_SEQ2)
+
+    def _pow2(x):
+        p = 1
+        while p < x:
+            p *= 2
+        return p
+
+    PAY_BASE = _pow2(m + 1)
+    CLAMP = 1 << 20
+
+    batch = lengths.shape[0]
+    n = lengths[None, :].astype(np.int32)
+    if stop_in_query:
+        min_n = np.zeros_like(n)
+    else:
+        min_n = np.maximum(0, n - m - k)
+    rows = np.arange(m + 1, dtype=np.int32)[:, None]
+
+    if not start_in_ref and not start_in_query:
+        cost0 = np.maximum(rows, min_n) * ins_cost
+        origin0 = np.zeros((m + 1, batch), np.int32)
+    elif start_in_ref and not start_in_query:
+        cost0 = np.broadcast_to(min_n * ins_cost, (m + 1, batch))
+        origin0 = np.minimum(0, min_n - rows)
+    elif not start_in_ref and start_in_query:
+        cost0 = np.broadcast_to(rows * ins_cost, (m + 1, batch))
+        origin0 = np.maximum(0, min_n - rows)
+    else:
+        cost0 = np.minimum(rows, min_n) * ins_cost
+        origin0 = min_n - rows
+    cost0 = np.minimum(
+        np.broadcast_to(cost0, (m + 1, batch)), CLAMP
+    ).astype(np.int32)
+    origin0 = np.broadcast_to(origin0, (m + 1, batch)).astype(np.int32)
+    pay0 = (origin0 + m) * PAY_BASE
+
+    last0 = np.full((1, batch), m if start_in_ref else min(m, k + 1), np.int32)
+    done0 = np.zeros((1, batch), bool)
+    return cost0, pay0, last0, done0
+
+
+def _locate_kernel(
+    reads,
+    lengths,
+    ref_arr,
+    thresholds,
+    cost0,
+    pay0,
+    last0,
+    done0,
+    *,
+    m,
+    k,
+    flags,
+    min_overlap,
+    ins_cost,
+    del_cost,
+    compare_ascii,
+):
+    """Core batched DP.
+
+    Layout: all DP state is [m+1, B] so the batch rides the TPU lane
+    dimension (the minor-most axis) at full width; per-read scalars are
+    kept as [1, B]. Cell state is packed into two int32 lanes:
+    ``pack = clamp(cost) * SUB_BASE + subkey`` (lexicographic min == the
+    tie-break order) and ``pay = (origin + m) * PAY_BASE + matches``.
+    Costs are clamped at CLAMP >> k, which cannot change any observable
+    result: every cell with cost > k is permanently dead (cost along a DP
+    path is non-decreasing) and only its > k property is ever read.
+    """
+    batch, L = reads.shape
+    start_in_ref = bool(flags & START_WITHIN_SEQ1)
+    start_in_query = bool(flags & START_WITHIN_SEQ2)
+    stop_in_ref = bool(flags & STOP_WITHIN_SEQ1)
+    stop_in_query = bool(flags & STOP_WITHIN_SEQ2)
+
+    def _pow2(x):
+        p = 1
+        while p < x:
+            p *= 2
+        return p
+
+    SUB_BASE = _pow2(2 * m + 2)
+    PAY_BASE = _pow2(m + 1)
+    CLAMP = 1 << 20
+
+    n = lengths[None, :].astype(jnp.int32)  # [1, B]
+    if start_in_query:
+        max_n = n
+    else:
+        max_n = jnp.minimum(n, m + k)
+    if stop_in_query:
+        min_n = jnp.zeros_like(n)
+    else:
+        min_n = jnp.maximum(0, n - m - k)
+
+    rows = jnp.arange(m + 1, dtype=jnp.int32)[:, None]  # [m+1, 1]
+
+    best0 = dict(
+        ref_stop=jnp.zeros_like(last0) + m,
+        query_stop=n + 0,
+        cost=m + n,
+        origin=jnp.zeros_like(last0),
+        matches=jnp.zeros_like(last0),
+    )
+
+    q_cols = reads.T[:, None, :]  # [L, 1, B]
+
+    ref_col = ref_arr[:, None]  # [m, 1]
+    pos_i = jnp.arange(1, m + 1, dtype=jnp.int32)[:, None]  # [m, 1]
+
+    shift_unit = ins_cost * SUB_BASE
+
+    def combine(F, G):
+        """Compose min-affine elements (F = earlier rows, G = later)."""
+        shifted = F["pack"] + G["t"] * shift_unit
+        g_wins = G["pack"] <= shifted
+        out_pack = jnp.where(g_wins, G["pack"], shifted)
+        out_pay = jnp.where(g_wins, G["pay"], F["pay"])
+        gc = G["const"]
+        return dict(
+            pack=jnp.where(gc, G["pack"], out_pack),
+            pay=jnp.where(gc, G["pay"], out_pay),
+            t=jnp.where(gc, G["t"], F["t"] + G["t"]),
+            const=F["const"] | gc,
+        )
+
+    def column_step(carry, xs):
+        cost_c, pay_c, last, best, done = carry
+        j, qc = xs  # qc: [1, B]
+        active = (j > min_n) & (j <= max_n) & (~done)  # [1, B]
+
+        # row 0 update (reference ``_align.pyx:385-388``)
+        org_row0 = pay_c[:1] // PAY_BASE - m
+        mat_row0 = pay_c[:1] % PAY_BASE
+        if start_in_query:
+            new0_cost = cost_c[:1]
+            new0_pay = (j + m) * PAY_BASE + mat_row0
+        else:
+            new0_cost = jnp.full((1, batch), j * ins_cost, jnp.int32)
+            new0_cost = jnp.minimum(new0_cost, CLAMP)
+            new0_pay = pay_c[:1]
+
+        if compare_ascii:
+            eq = ref_col == qc  # [m, B]
+        else:
+            eq = (ref_col & qc) != 0
+
+        diag_cost = cost_c[:-1]
+        diag_pay = pay_c[:-1]
+
+        # local candidate per mismatch cell: min(diag+1, old+D); diag wins ties
+        del_cost_arr = cost_c[1:] + del_cost
+        diag_m_cost = diag_cost + 1
+        pick_diag = diag_m_cost <= del_cost_arr
+        loc_cost = jnp.where(pick_diag, diag_m_cost, del_cost_arr)
+        loc_pay = jnp.where(pick_diag, diag_pay, pay_c[1:])
+        loc_sub = jnp.where(pick_diag, m - pos_i, m + pos_i)
+
+        # match cells are forced constants (no indel at a match)
+        elem_cost = jnp.where(eq, diag_cost, loc_cost)
+        elem_pay = jnp.where(eq, diag_pay + 1, loc_pay)  # matches += 1
+        elem_sub = jnp.where(eq, m + pos_i, loc_sub)
+        elem_t = jnp.where(eq, 0, 1)
+
+        elems = dict(
+            pack=jnp.concatenate(
+                [new0_cost * SUB_BASE + m, elem_cost * SUB_BASE + elem_sub]
+            ),
+            pay=jnp.concatenate([new0_pay, elem_pay]),
+            t=jnp.concatenate([jnp.zeros((1, batch), jnp.int32), elem_t]),
+            const=jnp.concatenate([jnp.ones((1, batch), bool), eq]),
+        )
+        scanned = lax.associative_scan(combine, elems, axis=0)
+        new_cost = jnp.minimum(scanned["pack"] // SUB_BASE, CLAMP)
+        new_pay = scanned["pay"]
+
+        # masked writeback: rows 1..last for active reads; row 0 always
+        write = active & ((rows <= last) & (rows >= 1) | (rows == 0))
+        cost_c = jnp.where(write, new_cost, cost_c)
+        pay_c = jnp.where(write, new_pay, pay_c)
+
+        # band update (reference ``_align.pyx:433-439``)
+        in_band = (rows <= last) & (cost_c <= k)
+        L_idx = jnp.max(jnp.where(in_band, rows, -1), axis=0, keepdims=True)
+        new_last = jnp.minimum(L_idx + 1, m)
+
+        # row-m check when the band still reaches row m
+        if stop_in_query:
+            at_bottom = active & (L_idx == m)
+            org_m = pay_c[m:] // PAY_BASE - m
+            mat_m = pay_c[m:] % PAY_BASE
+            length_m = m + jnp.minimum(org_m, 0)
+            cost_m = cost_c[m:]
+            # one-hot table lookup (small-table gathers with per-read
+            # indices compile pathologically on some TPU backends)
+            thresh_m = jnp.max(
+                jnp.where(rows == length_m, thresholds[:, None], NEG_LARGE),
+                axis=0,
+                keepdims=True,
+            )
+            ok = (
+                at_bottom
+                & (length_m >= min_overlap)
+                & (cost_m <= thresh_m)
+                & (
+                    (mat_m > best["matches"])
+                    | ((mat_m == best["matches"]) & (cost_m < best["cost"]))
+                )
+            )
+            best = dict(
+                ref_stop=jnp.where(ok, m, best["ref_stop"]),
+                query_stop=jnp.where(ok, j, best["query_stop"]),
+                cost=jnp.where(ok, cost_m, best["cost"]),
+                origin=jnp.where(ok, org_m, best["origin"]),
+                matches=jnp.where(ok, mat_m, best["matches"]),
+            )
+            done = done | (ok & (cost_m == 0) & (mat_m == m))
+
+        last = jnp.where(active, new_last, last)
+        return (cost_c, pay_c, last, best, done), None
+
+    js = jnp.arange(1, L + 1, dtype=jnp.int32)
+    (cost_c, pay_c, last, best, done), _ = lax.scan(
+        column_step,
+        (cost0, pay0, last0, best0, done0),
+        (js, q_cols),
+    )
+
+    org_c = pay_c // PAY_BASE - m
+    mat_c = pay_c % PAY_BASE
+
+    # final-column scan (reference ``_align.pyx:461-474``)
+    first_i = 0 if stop_in_ref else m
+    lengths_i = rows + jnp.minimum(org_c, 0)  # [m+1, B]
+    valid = (
+        (rows >= first_i)
+        & (lengths_i >= min_overlap)
+        & (cost_c <= thresholds[jnp.clip(lengths_i, 0, m)])
+        & (max_n == n)
+    )
+    cost_clamped = jnp.minimum(cost_c, 1023)
+    key = mat_c * 2048 + (1023 - cost_clamped)
+    key = key * (m + 2) + (m + 1 - rows)
+    key = jnp.where(valid, key, NEG_LARGE)
+    best_key = jnp.max(key, axis=0, keepdims=True)
+    any_valid = best_key > NEG_LARGE
+    sel = (key == best_key) & valid
+    # first row achieving the best key (ties: smallest i by key design)
+    best_idx = jnp.max(
+        jnp.where(sel, rows, -1), axis=0, keepdims=True
+    )
+    pick = rows == best_idx
+    take = lambda arr: jnp.max(
+        jnp.where(pick, arr, NEG_LARGE), axis=0, keepdims=True
+    )
+    cand_cost = take(cost_c)
+    cand_mat = take(mat_c)
+    cand_org = take(org_c)
+    better = any_valid & (
+        (cand_mat > best["matches"])
+        | ((cand_mat == best["matches"]) & (cand_cost < best["cost"]))
+    )
+    best = dict(
+        ref_stop=jnp.where(better, best_idx, best["ref_stop"]),
+        query_stop=jnp.where(better, n, best["query_stop"]),
+        cost=jnp.where(better, cand_cost, best["cost"]),
+        origin=jnp.where(better, cand_org, best["origin"]),
+        matches=jnp.where(better, cand_mat, best["matches"]),
+    )
+
+    found = (best["cost"] != (m + n))[0]
+    origin = best["origin"][0]
+    start1 = jnp.where(origin >= 0, 0, -origin)
+    start2 = jnp.where(origin >= 0, origin, 0)
+    return dict(
+        found=found,
+        start1=start1,
+        stop1=best["ref_stop"][0],
+        start2=start2,
+        stop2=best["query_stop"][0],
+        matches=best["matches"][0],
+        cost=best["cost"][0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched quality trimming (reference ``_qualtrim.pyx``)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("base",))
+def _quality_trim_kernel(quals, lengths, cutoff_front, cutoff_back, base):
+    batch, L = quals.shape
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_read = idx < lengths[:, None]
+    q = quals.astype(jnp.int32) - base
+
+    # 5' scan: running sum of (cutoff - q); stop at first negative; trim at
+    # the first position achieving the maximum positive sum.
+    delta_f = jnp.where(in_read, cutoff_front[:, None] - q, 0)
+    pref = jnp.cumsum(delta_f, axis=1)
+    neg = (pref < 0) & in_read
+    first_neg = jnp.min(jnp.where(neg, idx, L), axis=1)  # [B]
+    valid_f = in_read & (idx < first_neg[:, None])
+    maxval_f = jnp.max(jnp.where(valid_f, pref, NEG_LARGE), axis=1)
+    is_max_f = valid_f & (pref == maxval_f[:, None])
+    first_max_f = jnp.min(jnp.where(is_max_f, idx, L), axis=1)
+    start = jnp.where(maxval_f > 0, first_max_f + 1, 0)
+
+    # 3' scan (from the read end inward)
+    delta_b = jnp.where(in_read, cutoff_back[:, None] - q, 0)
+    total_b = jnp.sum(delta_b, axis=1, keepdims=True)
+    # suffix sum including position i
+    suff = total_b - jnp.cumsum(delta_b, axis=1) + delta_b
+    neg_b = (suff < 0) & in_read
+    last_neg = jnp.max(jnp.where(neg_b, idx, -1), axis=1)  # [B]
+    valid_b = in_read & (idx > last_neg[:, None])
+    maxval_b = jnp.max(jnp.where(valid_b, suff, NEG_LARGE), axis=1)
+    is_max_b = valid_b & (suff == maxval_b[:, None])
+    last_max_b = jnp.max(jnp.where(is_max_b, idx, -1), axis=1)
+    stop = jnp.where(maxval_b > 0, last_max_b, lengths)
+
+    both_zero = start >= stop
+    return jnp.where(both_zero, 0, start), jnp.where(both_zero, 0, stop)
+
+
+def quality_trim_batch(quals_u8, lengths, cutoff_front, cutoff_back, base=33):
+    """Batched BWA-style quality trim. Returns (start, stop) [B] arrays,
+    bit-identical to the scalar ``quality_trim_index`` per read."""
+    batch = quals_u8.shape[0]
+    cf = jnp.full((batch,), cutoff_front, jnp.int32)
+    cb = jnp.full((batch,), cutoff_back, jnp.int32)
+    return _quality_trim_kernel(
+        jnp.asarray(quals_u8), jnp.asarray(lengths, jnp.int32), cf, cb, base
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("base",))
+def _nextseq_trim_kernel(seqs, quals, lengths, cutoff, base):
+    batch, L = quals.shape
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    in_read = idx < lengths[:, None]
+    q = quals.astype(jnp.int32) - base
+    is_g = seqs == ord("G")
+    q = jnp.where(is_g, cutoff[:, None] - 1, q)
+    delta = jnp.where(in_read, cutoff[:, None] - q, 0)
+    total = jnp.sum(delta, axis=1, keepdims=True)
+    suff = total - jnp.cumsum(delta, axis=1) + delta
+    neg = (suff < 0) & in_read
+    last_neg = jnp.max(jnp.where(neg, idx, -1), axis=1)
+    valid = in_read & (idx > last_neg[:, None])
+    maxval = jnp.max(jnp.where(valid, suff, NEG_LARGE), axis=1)
+    is_max = valid & (suff == maxval[:, None])
+    last_max = jnp.max(jnp.where(is_max, idx, -1), axis=1)
+    return jnp.where(maxval > 0, last_max, lengths)
+
+
+def nextseq_trim_batch(seqs_u8, quals_u8, lengths, cutoff, base=33):
+    """Batched NextSeq two-color 3' trim. Returns stop [B] array."""
+    batch = quals_u8.shape[0]
+    cut = jnp.full((batch,), cutoff, jnp.int32)
+    return _nextseq_trim_kernel(
+        jnp.asarray(seqs_u8),
+        jnp.asarray(quals_u8),
+        jnp.asarray(lengths, jnp.int32),
+        cut,
+        base,
+    )

@@ -75,12 +75,18 @@ from atropos_tpu.commands.trim.writers import (
 
 
 class TrimPipeline(Pipeline):
-    """Trimming pipeline: record handler + result handler."""
+    """Trimming pipeline: record handler + result handler.
 
-    def __init__(self, record_handler, result_handler):
+    When a device engine is attached, whole batches are modified via
+    batched kernels (``atropos_tpu.engine``) instead of per-record scalar
+    matching; filtering/formatting semantics are unchanged.
+    """
+
+    def __init__(self, record_handler, result_handler, engine=None):
         super().__init__()
         self.record_handler = record_handler
         self.result_handler = result_handler
+        self.engine = engine
 
     def start(self, worker=None):
         self.result_handler.start(worker)
@@ -89,8 +95,31 @@ class TrimPipeline(Pipeline):
         context["results"] = defaultdict(lambda: [])
 
     def handle_records(self, context, records):
-        super().handle_records(context, records)
+        if self.engine is not None:
+            self._handle_records_engine(context, records)
+        else:
+            super().handle_records(context, records)
         self.result_handler.write_result(context["index"], context["results"])
+
+    def _handle_records_engine(self, context, records):
+        handler = self.record_handler
+        paired = isinstance(self, PairedEndPipelineMixin)
+        bps = context["bp"]
+        pairs = []
+        if paired:
+            for read1, read2 in records:
+                bps[0] += len(read1.sequence)
+                bps[1] += len(read2.sequence)
+                pairs.append((read1, read2))
+        else:
+            for record in records:
+                bps[0] += len(record)
+                pairs.append((record, None))
+        modified = self.engine.modify_batch(pairs)
+        for read1, read2 in modified:
+            reads = (read1, read2) if paired else (read1,)
+            dest = handler.filters.filter(*reads)
+            handler.formatters.format(context["results"], dest, *reads)
 
     def handle_reads(self, context, read1, read2=None):
         return self.record_handler.handle_record(context, read1, read2)
@@ -607,6 +636,16 @@ class CommandRunner(BaseCommandRunner):
                 )
             )
 
+        # device engine (batched kernels) for eligible configurations
+        engine = None
+        if isinstance(record_handler, RecordHandler):
+            from atropos_tpu.engine import TrimEngine, engine_enabled
+
+            if engine_enabled():
+                engine = TrimEngine.build(modifiers, options)
+                if engine is not None:
+                    logger.info("Using batched device engine for adapter matching")
+
         if options.threads is None:
             # serial mode
             result_handler = WorkerResultHandler(WriterResultHandler(writers))
@@ -614,7 +653,7 @@ class CommandRunner(BaseCommandRunner):
                 pipeline_class = PairedEndTrimPipeline
             else:
                 pipeline_class = SingleEndTrimPipeline
-            pipeline = pipeline_class(record_handler, result_handler)
+            pipeline = pipeline_class(record_handler, result_handler, engine=engine)
             self.summary.update(mode="serial", threads=1)
             return run_interruptible(pipeline, self, raise_on_error=True)
         else:

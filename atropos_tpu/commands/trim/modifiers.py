@@ -71,9 +71,17 @@ class Trimmer(Modifier):
         return dict(bp_trimmed=self.trimmed_bases)
 
 
+_UNSET = object()
+
+
 class AdapterCutter(Modifier):
     """Repeatedly find and remove the best-matching adapter (up to ``times``
-    rounds); best = most matching bases across all adapters."""
+    rounds); best = most matching bases across all adapters.
+
+    The first-round match may be precomputed by the batched device engine
+    and injected via ``first_match`` (bit-identical to ``_best_match``);
+    later rounds (rare) fall back to scalar matching.
+    """
 
     def __init__(self, adapters=None, times=1, action="trim"):
         super().__init__()
@@ -92,14 +100,17 @@ class AdapterCutter(Modifier):
                 best = match
         return best
 
-    def __call__(self, read):
+    def __call__(self, read, first_match=_UNSET):
         if len(read) == 0:
             return read
 
         matches = []
         trimmed_read = read
-        for _ in range(self.times):
-            match = self._best_match(trimmed_read)
+        for round_idx in range(self.times):
+            if round_idx == 0 and first_match is not _UNSET:
+                match = first_match
+            else:
+                match = self._best_match(trimmed_read)
             if match is None:
                 break
             matches.append(match)

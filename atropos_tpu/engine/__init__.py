@@ -1,0 +1,359 @@
+"""Batched device engine for the trim pipeline.
+
+Replaces the per-read scalar adapter matching (the pipeline's hot loop)
+with one batched TPU kernel invocation per (adapter, batch): the whole
+record batch is encoded once into a padded uint8 tensor, every adapter's
+semi-global DP runs on device over all reads simultaneously, and the
+results are injected back into the unchanged host modifier chain
+(``AdapterCutter.__call__(read, first_match=...)``), which keeps every
+downstream behavior (trimming bookkeeping, stats, filters, formatting)
+bit-identical to the scalar path.
+
+Eligibility: any AdapterCutter stage whose adapters are plain
+:class:`~atropos_tpu.adapters.Adapter` instances (colorspace and linked
+adapters take the scalar path per adapter; they can coexist in the same
+adapter list). ``times > 1`` rounds after the first fall back to scalar
+matching for the (few) reads still matching.
+
+Shapes are bucketed (batch to powers of two, length to multiples of 32)
+so the number of distinct compiled kernels stays small.
+"""
+import os
+
+import numpy as np
+
+from atropos_tpu.adapters import Adapter, ColorspaceAdapter, PREFIX, SUFFIX
+from atropos_tpu.align import Match
+from atropos_tpu.align.batched import BatchAligner, encode_reads
+from atropos_tpu.align.flags import translate_pair
+from atropos_tpu.commands.trim.modifiers import AdapterCutter
+
+
+def engine_enabled():
+    """Whether the device engine should be used.
+
+    ``ATROPOS_TPU_ENGINE=1`` forces on, ``=0`` forces off; by default the
+    engine activates when an accelerator backend is available (on pure-CPU
+    runs the scalar pipeline is typically faster for small batches).
+    """
+    value = os.environ.get("ATROPOS_TPU_ENGINE")
+    if value is not None:
+        return value not in ("0", "false", "no")
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _bucket_batch(batch):
+    size = 64
+    while size < batch:
+        size *= 2
+    return size
+
+
+def _bucket_len(length):
+    return max(32, ((length + 31) // 32) * 32)
+
+
+class _PrefixSuffixMatcher:
+    """Vectorized no-indel anchored matcher (compare_prefixes/suffixes).
+
+    numpy is sufficient here: the comparison is O(B*m) byte ops.
+    Reference semantics: ``_align.pyx:501-544`` +
+    ``align/__init__.py:28-44``.
+    """
+
+    def __init__(self, adapter):
+        self.adapter = adapter
+        self.m = len(adapter.sequence)
+        ref_b, _, self.compare_ascii = translate_pair(
+            adapter.sequence,
+            "",
+            adapter.adapter_wildcards,
+            adapter.read_wildcards,
+        )
+        self.ref_arr = np.frombuffer(ref_b, dtype=np.uint8)
+        self.raw_ref = np.frombuffer(
+            adapter.sequence.encode("ascii"), dtype=np.uint8
+        )
+        if adapter.adapter_wildcards:
+            from atropos_tpu.align.flags import ACGT_TABLE, IUPAC_TABLE
+
+            self.query_lut = np.frombuffer(
+                IUPAC_TABLE if adapter.read_wildcards else ACGT_TABLE,
+                dtype=np.uint8,
+            )
+        elif adapter.read_wildcards:
+            from atropos_tpu.align.flags import IUPAC_TABLE
+
+            self.query_lut = np.frombuffer(IUPAC_TABLE, dtype=np.uint8)
+        else:
+            self.query_lut = None
+
+    def locate_batch(self, reads_u8, lengths):
+        batch, width = reads_u8.shape
+        m = self.m
+        lengths = np.asarray(lengths)
+        out = {
+            "found": np.zeros(batch, bool),
+            "start1": np.zeros(batch, np.int32),
+            "stop1": np.zeros(batch, np.int32),
+            "start2": np.zeros(batch, np.int32),
+            "stop2": np.zeros(batch, np.int32),
+            "matches": np.zeros(batch, np.int32),
+            "cost": np.zeros(batch, np.int32),
+        }
+        is_prefix = self.adapter.where == PREFIX
+        cmp_len = np.minimum(lengths, m)
+        idx = np.arange(width)
+        if is_prefix:
+            window = reads_u8
+            pos_valid = idx[None, :] < cmp_len[:, None]
+        else:
+            # align the last min(n, m) bases to the adapter's tail
+            offs = lengths[:, None] - cmp_len[:, None]
+            gather_idx = np.clip(offs + idx[None, :], 0, width - 1)
+            window = np.take_along_axis(reads_u8, gather_idx, axis=1)
+            pos_valid = idx[None, :] < cmp_len[:, None]
+
+        ref = np.zeros(width, dtype=np.uint8)
+        raw_ref_pad = np.zeros(width, dtype=np.uint8)
+        take = min(m, width)
+        if is_prefix:
+            ref[:take] = self.ref_arr[:take]
+            raw_ref_pad[:take] = self.raw_ref[:take]
+        else:
+            # suffix compare aligns adapter tail to read tail; per read the
+            # compared adapter region is the LAST cmp_len bases
+            pass
+
+        if is_prefix:
+            if self.compare_ascii:
+                eq = window == raw_ref_pad[None, :]
+            else:
+                q = self.query_lut[window] if self.query_lut is not None else window
+                eq = (q & ref[None, :]) != 0
+            matches = np.sum(eq & pos_valid, axis=1).astype(np.int32)
+            length = cmp_len.astype(np.int32)
+            out["found"] = length >= 0  # compare_prefixes always returns
+            out["stop1"] = length
+            out["stop2"] = length
+            out["matches"] = matches
+            out["cost"] = length - matches
+        else:
+            # per-read adapter window: last cmp_len bases of the adapter
+            a_offs = (m - cmp_len)[:, None]
+            a_idx = np.clip(a_offs + idx[None, :], 0, m - 1)
+            ref_rows = self.ref_arr[a_idx]
+            raw_rows = self.raw_ref[a_idx]
+            if self.compare_ascii:
+                eq = window == raw_rows
+            else:
+                q = self.query_lut[window] if self.query_lut is not None else window
+                eq = (q & ref_rows) != 0
+            matches = np.sum(eq & pos_valid, axis=1).astype(np.int32)
+            length = cmp_len.astype(np.int32)
+            out["found"] = length >= 0
+            out["start1"] = m - length
+            out["stop1"] = np.full(batch, m, np.int32)
+            out["start2"] = lengths.astype(np.int32) - length
+            out["stop2"] = lengths.astype(np.int32)
+            out["matches"] = matches
+            out["cost"] = length - matches
+        return out
+
+
+class _AdapterMatcher:
+    """Per-adapter device/host matcher producing Match objects for a batch."""
+
+    def __init__(self, adapter):
+        self.adapter = adapter
+        self.scalar_only = not isinstance(adapter, Adapter) or isinstance(
+            adapter, ColorspaceAdapter
+        )
+        self._aligners = {}
+        self._ps_matcher = None
+        if not self.scalar_only:
+            if not adapter.indels and adapter.where in (PREFIX, SUFFIX):
+                self._ps_matcher = _PrefixSuffixMatcher(adapter)
+
+    def _get_aligner(self):
+        key = "dp"
+        if key not in self._aligners:
+            adapter = self.adapter
+            self._aligners[key] = BatchAligner(
+                adapter.sequence,
+                adapter.max_error_rate,
+                adapter.where,
+                wildcard_ref=adapter.adapter_wildcards,
+                wildcard_query=adapter.read_wildcards,
+                min_overlap=adapter.min_overlap,
+                indel_cost=(
+                    adapter.aligner.indel_cost if adapter.indels else 100000
+                ),
+            )
+        return self._aligners[key]
+
+    def match_batch(self, read_objs, enc, lengths):
+        """Return a list of Match|None for every read in the batch."""
+        adapter = self.adapter
+        if self.scalar_only:
+            return [adapter.match_to(read) for read in read_objs]
+
+        if self._ps_matcher is not None:
+            out = self._ps_matcher.locate_batch(enc, lengths)
+        else:
+            out = self._get_aligner().locate_batch(enc, lengths)
+            out = {key: np.asarray(val) for key, val in out.items()}
+
+        results = []
+        for idx, read in enumerate(read_objs):
+            if not out["found"][idx]:
+                results.append(None)
+                continue
+            astart = int(out["start1"][idx])
+            astop = int(out["stop1"][idx])
+            rstart = int(out["start2"][idx])
+            rstop = int(out["stop2"][idx])
+            matches = int(out["matches"][idx])
+            errors = int(out["cost"][idx])
+            size = astop - astart
+            # validation identical to Adapter.match_to
+            if size <= 0:
+                results.append(None)
+                continue
+            if (
+                size >= adapter.min_overlap
+                and errors / size <= adapter.max_error_rate
+            ) and (
+                adapter.max_rmp is None
+                or adapter.match_probability(matches, size) <= adapter.max_rmp
+            ):
+                results.append(
+                    Match(
+                        astart, astop, rstart, rstop, matches, errors,
+                        adapter._front_flag, adapter, read,
+                    )
+                )
+            else:
+                results.append(None)
+        return results
+
+
+class BatchMatcher:
+    """Best-of-N adapter matching for an AdapterCutter, batched."""
+
+    def __init__(self, cutter):
+        self.cutter = cutter
+        self.matchers = [_AdapterMatcher(a) for a in cutter.adapters]
+
+    def best_matches(self, read_objs):
+        """Batched equivalent of ``AdapterCutter._best_match`` per read."""
+        if not read_objs:
+            return []
+        sequences = [read.sequence.upper() for read in read_objs]
+        width = _bucket_len(max((len(s) for s in sequences), default=1))
+        enc, lengths = encode_reads(sequences, pad_to=width)
+        per_adapter = [
+            matcher.match_batch(read_objs, enc, lengths)
+            for matcher in self.matchers
+        ]
+        best = [None] * len(read_objs)
+        for matches in per_adapter:
+            for idx, match in enumerate(matches):
+                if match is None:
+                    continue
+                if best[idx] is None or match.matches > best[idx].matches:
+                    best[idx] = match
+        return best
+
+
+class TrimEngine:
+    """Engine driving batch-level adapter matching inside the pipeline.
+
+    Splits the ordered modifier chain at the AdapterCutter stage: the
+    modifiers before it are applied per read (cheap host transforms), the
+    adapter matching runs batched on device, then the cutter (with its
+    first-round match injected) and the remaining modifiers run per read.
+    """
+
+    def __init__(self, modifiers, paired):
+        self.modifiers = modifiers
+        self.paired = paired
+        idx = modifiers.modifier_indexes[AdapterCutter][0]
+        self.cutter_index = idx
+        entry = modifiers.modifiers[idx]
+        self.cutter1, self.cutter2 = entry[0], entry[1]
+        self.matcher1 = BatchMatcher(self.cutter1) if self.cutter1 else None
+        self.matcher2 = BatchMatcher(self.cutter2) if self.cutter2 else None
+        self.pre_entries = modifiers.modifiers[:idx]
+        self.post_entries = modifiers.modifiers[idx + 1 :]
+
+    @classmethod
+    def build(cls, modifiers, options):
+        """Return a TrimEngine if this configuration is eligible, else
+        None (pipeline then runs fully scalar)."""
+        if options.colorspace:
+            return None
+        if not modifiers.has_modifier(AdapterCutter):
+            return None
+        if len(modifiers.modifier_indexes[AdapterCutter]) != 1:
+            return None
+        return cls(modifiers, options.paired)
+
+    # -- per-read application of a non-cutter modifier entry ----------------
+
+    @staticmethod
+    def _apply_entry(entry, read1, read2):
+        from atropos_tpu.commands.trim.modifiers import ReadPairModifier
+
+        if isinstance(entry, ReadPairModifier):
+            return entry(read1, read2)
+        if entry[0] is not None:
+            read1 = entry[0](read1)
+        if read2 is not None and entry[1] is not None:
+            read2 = entry[1](read2)
+        return read1, read2
+
+    def modify_batch(self, pairs):
+        """Apply the modifier chain to a batch of (read1, read2|None).
+
+        Returns the list of modified (read1, read2) tuples in order.
+        """
+        # phase 1: pre-cutter modifiers
+        staged = []
+        for read1, read2 in pairs:
+            for entry in self.pre_entries:
+                read1, read2 = self._apply_entry(entry, read1, read2)
+            staged.append((read1, read2))
+
+        # phase 2: batched matching (skip empty reads — cutter ignores them)
+        matches1 = matches2 = None
+        if self.matcher1:
+            reads1 = [r1 for r1, _ in staged]
+            nonempty = [r for r in reads1 if len(r) > 0]
+            found = iter(self.matcher1.best_matches(nonempty))
+            matches1 = [next(found) if len(r) > 0 else None for r in reads1]
+        if self.matcher2:
+            reads2 = [r2 for _, r2 in staged]
+            nonempty = [r for r in reads2 if r is not None and len(r) > 0]
+            found = iter(self.matcher2.best_matches(nonempty))
+            matches2 = [
+                next(found) if (r is not None and len(r) > 0) else None
+                for r in reads2
+            ]
+
+        # phase 3: cutter with injected first-round matches + post modifiers
+        out = []
+        for idx, (read1, read2) in enumerate(staged):
+            if self.cutter1 is not None:
+                read1 = self.cutter1(read1, first_match=matches1[idx])
+            if self.cutter2 is not None and read2 is not None:
+                read2 = self.cutter2(read2, first_match=matches2[idx])
+            for entry in self.post_entries:
+                read1, read2 = self._apply_entry(entry, read1, read2)
+            out.append((read1, read2))
+        return out

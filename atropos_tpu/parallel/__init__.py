@@ -1,0 +1,154 @@
+"""Multi-device / multi-host scale-out.
+
+The reference's parallelism is single-node fork+Queue data parallelism
+over reads (``atropos/commands/multicore.py``). Here the same axis —
+reads — is sharded over a ``jax.sharding.Mesh``: each device (and each
+host, via per-host input sharding) processes its slice of the read batch
+with the same batched kernels, and the summary statistics are fixed-shape
+tensors merged with ``psum`` collectives, replacing the reference's
+pickled-summary ``merge_dicts`` control plane.
+
+``sharded_trim_step`` is the device-side "training step" of this
+framework: align every adapter against the local read shard, apply
+quality trimming, derive keep-intervals, and reduce the trim statistics
+across the mesh.
+"""
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from atropos_tpu.align.batched import (
+    _initial_state_np,
+    _locate_kernel,
+    _quality_trim_kernel,
+)
+
+READS_AXIS = "reads"
+
+
+def make_mesh(devices=None, axis_name=READS_AXIS):
+    """Build a 1-D device mesh over the read (data-parallel) axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(mesh, *arrays):
+    """Place [B, ...] arrays with the batch dimension sharded over the
+    mesh's read axis."""
+    out = []
+    for arr in arrays:
+        spec = P(READS_AXIS, *([None] * (arr.ndim - 1)))
+        out.append(jax.device_put(arr, NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
+def build_sharded_trim_step(
+    mesh,
+    *,
+    m,
+    k,
+    flags,
+    min_overlap,
+    ins_cost,
+    quality_cutoff=(0, 20),
+    quality_base=33,
+    max_len_hist=512,
+):
+    """Compile a full sharded trim step over the mesh.
+
+    The step consumes a sharded read batch (sequence bytes, qualities,
+    lengths and the host-built DP initial state), runs quality trimming
+    and adapter alignment on every shard, resolves per-read keep
+    intervals, and returns them together with globally ``psum``-reduced
+    statistics (trimmed-read count, bp histograms).
+    """
+    kernel = functools.partial(
+        _locate_kernel,
+        m=m,
+        k=k,
+        flags=flags,
+        min_overlap=min_overlap,
+        ins_cost=ins_cost,
+        del_cost=ins_cost,
+        compare_ascii=True,
+    )
+
+    def step(reads, quals, lengths, ref_arr, thresholds, cost0, pay0, last0, done0):
+        # quality trimming (reference op order runs Q before A)
+        cf = jnp.full((reads.shape[0],), quality_cutoff[0], jnp.int32)
+        cb = jnp.full((reads.shape[0],), quality_cutoff[1], jnp.int32)
+        q_start, q_stop = _quality_trim_kernel(quals, lengths, cf, cb, quality_base)
+
+        out = kernel(
+            reads, lengths, ref_arr, thresholds, cost0, pay0, last0, done0
+        )
+
+        # 3' adapter trim: keep [0, rstart) of the quality-trimmed read
+        keep_start = q_start
+        keep_stop = jnp.where(
+            out["found"], jnp.minimum(q_stop, out["start2"]), q_stop
+        )
+        keep_stop = jnp.maximum(keep_stop, keep_start)
+
+        # shard statistics -> global psum over the mesh
+        trimmed = out["found"].astype(jnp.int32)
+        new_len = keep_stop - keep_start
+        length_hist = jnp.zeros(max_len_hist, jnp.int32).at[
+            jnp.clip(new_len, 0, max_len_hist - 1)
+        ].add(1)
+        stats = dict(
+            records=jnp.array(reads.shape[0], jnp.int32),
+            trimmed=jnp.sum(trimmed),
+            bp_kept=jnp.sum(new_len),
+            length_hist=length_hist,
+        )
+        stats = jax.lax.psum(stats, READS_AXIS)
+        return dict(keep_start=keep_start, keep_stop=keep_stop, **stats)
+
+    in_spec = (
+        P(READS_AXIS, None),  # reads
+        P(READS_AXIS, None),  # quals
+        P(READS_AXIS),        # lengths
+        P(None),              # ref
+        P(None),              # thresholds
+        P(None, READS_AXIS),  # cost0 [m+1, B]
+        P(None, READS_AXIS),  # pay0
+        P(None, READS_AXIS),  # last0
+        P(None, READS_AXIS),  # done0
+    )
+    out_spec = dict(
+        keep_start=P(READS_AXIS),
+        keep_stop=P(READS_AXIS),
+        records=P(),
+        trimmed=P(),
+        bp_kept=P(),
+        length_hist=P(),
+    )
+
+    sharded = _shard_map(
+        step, mesh=mesh, in_specs=in_spec, out_specs=out_spec
+    )
+    return jax.jit(sharded)
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """shard_map across jax versions (promoted out of experimental)."""
+    if hasattr(jax, "shard_map"):
+        try:
+            return jax.shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+        except TypeError:
+            return jax.shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+            )
+    from jax.experimental.shard_map import shard_map as _sm
+
+    return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_rep=False)
