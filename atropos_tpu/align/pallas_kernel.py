@@ -1,0 +1,436 @@
+"""Pallas TPU kernel for the batched semi-global adapter DP.
+
+The XLA version (:mod:`atropos_tpu.align.batched`) expresses the column
+scan as ~40 separate HLO ops per column; every op round-trips VMEM and
+pays dispatch overhead. This kernel runs the entire j-loop *inside* one
+Pallas program: the DP state (two int32 planes of shape [m+1, B_BLK])
+lives in registers/VMEM for the whole read batch block, the per-column
+update is fused into one vector pipeline, and the insertion chain is a
+hand-rolled Kogge-Stone over the row axis (log2(m+1) combine steps of the
+same min-affine monoid used by the XLA version — identical results).
+
+The grid partitions the read batch into lane-sized blocks; each program
+aligns the adapter against its block independently (pure data
+parallelism, no cross-program communication).
+
+Semantics are bit-identical to ``oracle.Aligner.locate`` — validated by
+the differential tests in ``tests/test_pallas_align.py``.
+"""
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from atropos_tpu.align.batched import (
+    _error_thresholds,
+    _initial_state_np,
+    _translation_lut,
+)
+from atropos_tpu.align.flags import (
+    ACGT_TABLE,
+    IUPAC_TABLE,
+    START_WITHIN_SEQ1,
+    START_WITHIN_SEQ2,
+    STOP_WITHIN_SEQ1,
+    STOP_WITHIN_SEQ2,
+)
+
+NEG_LARGE = -(2 ** 30)
+
+
+def _pow2(x):
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _dp_kernel(
+    reads_ref,      # [L, B_BLK] int32 (translated query bytes, column-major)
+    lengths_ref,    # [1, B_BLK] int32
+    out_ref,        # [8, B_BLK] int32
+    *,
+    m,
+    k,
+    flags,
+    min_overlap,
+    ins_cost,
+    del_cost,
+    compare_ascii,
+    L,
+    ref_bytes,      # tuple of m ints (static)
+    thresholds,     # tuple of m+1 ints (static)
+):
+    start_in_ref = bool(flags & START_WITHIN_SEQ1)
+    start_in_query = bool(flags & START_WITHIN_SEQ2)
+    stop_in_ref = bool(flags & STOP_WITHIN_SEQ1)
+    stop_in_query = bool(flags & STOP_WITHIN_SEQ2)
+
+    SUB_BASE = _pow2(2 * m + 2)
+    PAY_BASE = _pow2(m + 1)
+    CLAMP = 1 << 20
+    shift_unit = min(ins_cost, CLAMP)
+
+    B = lengths_ref.shape[1]
+    M1 = m + 1
+
+    n = lengths_ref[0:1, :]  # [1, B]
+    if start_in_query:
+        max_n = n
+    else:
+        max_n = jnp.minimum(n, m + k)
+    if stop_in_query:
+        min_n = jnp.zeros_like(n)
+    else:
+        min_n = jnp.maximum(0, n - m - k)
+
+    rows = lax.broadcasted_iota(jnp.int32, (M1, B), 0)
+
+    # initial column (reference ``_align.pyx:333-352``)
+    if not start_in_ref and not start_in_query:
+        cost0 = jnp.maximum(rows, min_n) * ins_cost
+        origin0 = jnp.zeros((M1, B), jnp.int32)
+    elif start_in_ref and not start_in_query:
+        cost0 = jnp.broadcast_to(min_n * ins_cost, (M1, B))
+        origin0 = jnp.minimum(0, min_n - rows)
+    elif not start_in_ref and start_in_query:
+        cost0 = rows * ins_cost
+        origin0 = jnp.maximum(0, min_n - rows)
+    else:
+        cost0 = jnp.minimum(rows, min_n) * ins_cost
+        origin0 = min_n - rows
+    cost0 = jnp.minimum(cost0, CLAMP)
+    pay0 = (origin0 + m) * PAY_BASE
+
+    last0 = jnp.full((1, B), m if start_in_ref else min(m, k + 1), jnp.int32)
+    done0 = jnp.zeros((1, B), jnp.int32)
+
+    best0 = (
+        jnp.full((1, B), m, jnp.int32),     # ref_stop
+        n,                                   # query_stop
+        m + n,                               # cost
+        jnp.zeros((1, B), jnp.int32),        # origin
+        jnp.zeros((1, B), jnp.int32),        # matches
+    )
+
+    # adapter chars / thresholds built in-kernel from static ints via
+    # iota-select (Pallas kernels cannot capture array constants)
+    iota_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    ref_col = jnp.zeros((m, 1), jnp.int32)
+    for r, byte in enumerate(ref_bytes):
+        ref_col = jnp.where(iota_m == r, int(byte), ref_col)
+    iota_m1 = lax.broadcasted_iota(jnp.int32, (M1, 1), 0)
+    thresh_col = jnp.zeros((M1, 1), jnp.int32)
+    for r, tval in enumerate(thresholds):
+        thresh_col = jnp.where(iota_m1 == r, int(tval), thresh_col)
+
+    steps = []
+    s = 1
+    while s < M1:
+        steps.append(s)
+        s *= 2
+
+    def column(j, carry):
+        cost_c, pay_c, last, best, done = carry
+        b_ref_stop, b_query_stop, b_cost, b_origin, b_matches = best
+        qc = reads_ref[pl.ds(j - 1, 1), :]  # [1, B]
+        active = (j > min_n) & (j <= max_n) & (done == 0)
+
+        # row 0 (reference ``_align.pyx:385-388``)
+        if start_in_query:
+            new0_cost = cost_c[0:1, :]
+            new0_pay = (j + m) * PAY_BASE + pay_c[0:1, :] % PAY_BASE
+        else:
+            new0_cost = jnp.full((1, B), jnp.minimum(j * ins_cost, CLAMP),
+                                 jnp.int32)
+            new0_pay = pay_c[0:1, :]
+
+        if compare_ascii:
+            eq = ref_col == qc
+        else:
+            eq = (ref_col & qc) != 0
+
+        diag_cost = cost_c[0:m, :]
+        diag_pay = pay_c[0:m, :]
+        del_cost_arr = cost_c[1:M1, :] + del_cost
+        diag_m_cost = diag_cost + 1
+        pick_diag = diag_m_cost <= del_cost_arr
+        pos_i = rows[1:M1, 0:1]
+        loc_cost = jnp.where(pick_diag, diag_m_cost, del_cost_arr)
+        loc_pay = jnp.where(pick_diag, diag_pay, pay_c[1:M1, :])
+        loc_sub = jnp.where(pick_diag, m - pos_i, m + pos_i)
+
+        elem_cost = jnp.where(eq, diag_cost, loc_cost)
+        elem_pay = jnp.where(eq, diag_pay + 1, loc_pay)
+        elem_sub = jnp.where(eq, m + pos_i, loc_sub)
+        elem_t = jnp.where(eq, 0, 1)
+
+        pack = jnp.concatenate(
+            [new0_cost * SUB_BASE + m, elem_cost * SUB_BASE + elem_sub], axis=0
+        )
+        pay = jnp.concatenate([new0_pay, elem_pay], axis=0)
+        t_arr = jnp.concatenate([jnp.zeros((1, B), jnp.int32), elem_t], axis=0)
+        const = jnp.concatenate(
+            [jnp.ones((1, B), jnp.int32), eq.astype(jnp.int32)], axis=0
+        )
+
+        # Kogge-Stone inclusive scan of the min-affine monoid down the rows.
+        # Rows shifted past the top combine with the monoid identity:
+        # a non-constant element with +inf cost (pack > any real pack, so
+        # combine(identity, G) == G).
+        for s in steps:
+            # F = value s rows above (earlier); shift down by padding
+            f_pack = jnp.concatenate(
+                [jnp.full((s, B), 1 << 30, jnp.int32), pack[: M1 - s]],
+                axis=0,
+            )
+            f_pay = jnp.concatenate(
+                [jnp.zeros((s, B), jnp.int32), pay[: M1 - s]], axis=0
+            )
+            f_t = jnp.concatenate(
+                [jnp.zeros((s, B), jnp.int32), t_arr[: M1 - s]], axis=0
+            )
+            f_const = jnp.concatenate(
+                [jnp.zeros((s, B), jnp.int32), const[: M1 - s]], axis=0
+            )
+            shifted = f_pack + jnp.minimum(t_arr * shift_unit, CLAMP) * SUB_BASE
+            g_wins = pack <= shifted
+            new_pack = jnp.where(g_wins, pack, shifted)
+            new_pay = jnp.where(g_wins, pay, f_pay)
+            gc = const == 1
+            pack = jnp.where(gc, pack, new_pack)
+            pay = jnp.where(gc, pay, new_pay)
+            t_arr = jnp.where(gc, t_arr, f_t + t_arr)
+            const = jnp.maximum(const, f_const)
+
+        new_cost = jnp.minimum(pack // SUB_BASE, CLAMP)
+        new_pay = pay
+
+        write = (active != 0) & (((rows <= last) & (rows >= 1)) | (rows == 0))
+        cost_c = jnp.where(write, new_cost, cost_c)
+        pay_c = jnp.where(write, new_pay, pay_c)
+
+        in_band = (rows <= last) & (cost_c <= k)
+        L_idx = jnp.max(jnp.where(in_band, rows, -1), axis=0, keepdims=True)
+        new_last = jnp.minimum(L_idx + 1, m)
+
+        if stop_in_query:
+            at_bottom = active & (L_idx == m)
+            org_m = pay_c[m : m + 1, :] // PAY_BASE - m
+            mat_m = pay_c[m : m + 1, :] % PAY_BASE
+            length_m = m + jnp.minimum(org_m, 0)
+            cost_m = cost_c[m : m + 1, :]
+            thresh_m = jnp.max(
+                jnp.where(rows == length_m, thresh_col, NEG_LARGE),
+                axis=0,
+                keepdims=True,
+            )
+            ok = (
+                at_bottom
+                & (length_m >= min_overlap)
+                & (cost_m <= thresh_m)
+                & ((mat_m > b_matches) | ((mat_m == b_matches) & (cost_m < b_cost)))
+            )
+            b_ref_stop = jnp.where(ok, m, b_ref_stop)
+            b_query_stop = jnp.where(ok, j, b_query_stop)
+            b_cost = jnp.where(ok, cost_m, b_cost)
+            b_origin = jnp.where(ok, org_m, b_origin)
+            b_matches = jnp.where(ok, mat_m, b_matches)
+            done = jnp.where(
+                ok & (cost_m == 0) & (mat_m == m), jnp.int32(1), done
+            )
+
+        last = jnp.where(active, new_last, last)
+        best = (b_ref_stop, b_query_stop, b_cost, b_origin, b_matches)
+        return (cost_c, pay_c, last, best, done)
+
+    cost_c, pay_c, last, best, done = lax.fori_loop(
+        1, L + 1, column, (cost0, pay0, last0, best0, done0)
+    )
+    b_ref_stop, b_query_stop, b_cost, b_origin, b_matches = best
+
+    org_c = pay_c // PAY_BASE - m
+    mat_c = pay_c % PAY_BASE
+
+    # final-column scan (reference ``_align.pyx:461-474``)
+    first_i = 0 if stop_in_ref else m
+    lengths_i = rows + jnp.minimum(org_c, 0)
+    lt = jnp.clip(lengths_i, 0, m)
+    # per-cell threshold lookup, unrolled one-hot select over the m+1
+    # possible lengths (no gathers inside the kernel)
+    thresh_cells = jnp.zeros((M1, B), jnp.int32)
+    for r in range(M1):
+        thresh_cells = jnp.where(lt == r, int(thresholds[r]), thresh_cells)
+
+    valid = (
+        (rows >= first_i)
+        & (lengths_i >= min_overlap)
+        & (cost_c <= thresh_cells)
+        & (jnp.broadcast_to(max_n == n, (M1, B)))
+    )
+    cost_clamped = jnp.minimum(cost_c, 1023)
+    key = mat_c * 2048 + (1023 - cost_clamped)
+    key = key * (m + 2) + (m + 1 - rows)
+    key = jnp.where(valid, key, NEG_LARGE)
+    best_key = jnp.max(key, axis=0, keepdims=True)
+    any_valid = best_key > NEG_LARGE
+    sel = (key == best_key) & valid
+    best_idx = jnp.max(jnp.where(sel, rows, -1), axis=0, keepdims=True)
+    pick = rows == best_idx
+    take = lambda arr: jnp.max(
+        jnp.where(pick, arr, NEG_LARGE), axis=0, keepdims=True
+    )
+    cand_cost = take(cost_c)
+    cand_mat = take(mat_c)
+    cand_org = take(org_c)
+    better = any_valid & (
+        (cand_mat > b_matches) | ((cand_mat == b_matches) & (cand_cost < b_cost))
+    )
+    b_ref_stop = jnp.where(better, best_idx, b_ref_stop)
+    b_query_stop = jnp.where(better, n, b_query_stop)
+    b_cost = jnp.where(better, cand_cost, b_cost)
+    b_origin = jnp.where(better, cand_org, b_origin)
+    b_matches = jnp.where(better, cand_mat, b_matches)
+
+    found = (b_cost != (m + n)).astype(jnp.int32)
+    start1 = jnp.where(b_origin >= 0, 0, -b_origin)
+    start2 = jnp.where(b_origin >= 0, b_origin, 0)
+
+    out_ref[0:1, :] = found
+    out_ref[1:2, :] = start1
+    out_ref[2:3, :] = b_ref_stop
+    out_ref[3:4, :] = start2
+    out_ref[4:5, :] = b_query_stop
+    out_ref[5:6, :] = b_matches
+    out_ref[6:7, :] = b_cost
+    out_ref[7:8, :] = jnp.zeros((1, B), jnp.int32)
+
+
+class PallasAligner:
+    """Pallas-kernel counterpart of :class:`BatchAligner` (same result
+    contract, same bit-exact semantics; the comparison mode — raw byte
+    equality vs IUPAC bitwise-AND — is a static kernel parameter exactly
+    as in the scalar kernel)."""
+
+    BLOCK = 1024
+    INTERPRET = False  # set True for CPU interpret-mode testing
+
+    def __init__(
+        self,
+        reference,
+        max_error_rate,
+        flags,
+        wildcard_ref=False,
+        wildcard_query=False,
+        min_overlap=1,
+        indel_cost=1,
+    ):
+        self.reference = reference
+        self.max_error_rate = max_error_rate
+        self.flags = flags
+        self.min_overlap = min_overlap
+        self.indel_cost = indel_cost
+        m = len(reference)
+        self.m = m
+        self.k = int(max_error_rate * m)
+
+        ref_b = reference.encode("ascii")
+        if wildcard_ref:
+            ref_b = ref_b.translate(IUPAC_TABLE)
+        elif wildcard_query:
+            ref_b = ref_b.translate(ACGT_TABLE)
+        self._ref_np = np.frombuffer(ref_b, dtype=np.uint8).astype(np.int32)
+        self._thresholds_np = _error_thresholds(m, max_error_rate)
+        self._query_lut_np = _translation_lut(
+            wildcard_ref, wildcard_query, for_query=True
+        ).astype(np.int32)
+        self._compare_ascii = not (wildcard_ref or wildcard_query)
+        self._kernels = {}
+
+    def _get_kernel(self, L, B):
+        key = (L, B)
+        if key not in self._kernels:
+            m = self.m
+            if self._compare_ascii:
+                ref_bytes = tuple(
+                    int(b) for b in self.reference.encode("ascii")
+                )
+            else:
+                ref_bytes = tuple(int(b) for b in self._ref_np)
+            kernel = functools.partial(
+                _dp_kernel,
+                m=m,
+                k=self.k,
+                flags=self.flags,
+                min_overlap=self.min_overlap,
+                ins_cost=self.indel_cost,
+                del_cost=self.indel_cost,
+                compare_ascii=self._compare_ascii,
+                L=L,
+                ref_bytes=ref_bytes,
+                thresholds=tuple(int(t) for t in self._thresholds_np),
+            )
+            grid = (B // self.BLOCK,)
+            blk = self.BLOCK
+
+            call = pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((8, B), jnp.int32),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((L, blk), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, blk), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((8, blk), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                interpret=self.INTERPRET,
+            )
+            self._kernels[key] = jax.jit(call)
+        return self._kernels[key]
+
+    def locate_batch(self, reads_u8, lengths):
+        """Align the adapter against every read; same contract as
+        ``BatchAligner.locate_batch``."""
+        reads_u8 = np.asarray(reads_u8)
+        lengths = np.asarray(lengths, dtype=np.int32)
+        batch, L = reads_u8.shape
+        pad_b = ((batch + self.BLOCK - 1) // self.BLOCK) * self.BLOCK
+        L_pad = max(8, L)
+
+        if self._compare_ascii:
+            translated = reads_u8.astype(np.int32)
+            ref = np.frombuffer(
+                self.reference.encode("ascii"), dtype=np.uint8
+            ).astype(np.int32)
+        else:
+            translated = self._query_lut_np[reads_u8]
+            ref = self._ref_np
+
+        reads_T = np.zeros((L_pad, pad_b), dtype=np.int32)
+        reads_T[:L, :batch] = translated.T
+        len_pad = np.zeros((1, pad_b), dtype=np.int32)
+        len_pad[0, :batch] = lengths
+
+        kernel = self._get_kernel(L_pad, pad_b)
+        out = np.asarray(kernel(jnp.asarray(reads_T), jnp.asarray(len_pad)))
+        return dict(
+            found=out[0, :batch].astype(bool),
+            start1=out[1, :batch],
+            stop1=out[2, :batch],
+            start2=out[3, :batch],
+            stop2=out[4, :batch],
+            matches=out[5, :batch],
+            cost=out[6, :batch],
+        )
+
+
+def _pad_m(m):
+    """Sublane-aligned row count for the adapter/threshold blocks."""
+    return max(8, ((m + 2 + 7) // 8) * 8)

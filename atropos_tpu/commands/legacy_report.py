@@ -9,6 +9,67 @@ sections, and per-adapter length histograms.
 from atropos_tpu.io import open_output
 
 
+class Printer:
+    """Prints to a file with optional indenting."""
+
+    def __init__(self, outfile, indent=None, **kwargs):
+        self.outfile = outfile
+        self.indent = indent
+        self.print_args = kwargs
+
+    def __call__(self, *args, indent=None, **kwargs):
+        if isinstance(indent, int):
+            indent = self.indent * indent
+        else:
+            indent = indent or self.indent
+        if indent:
+            self._print(indent, end="")
+        self._print(*args, **kwargs)
+
+    def _print(self, *args, **kwargs):
+        if self.print_args:
+            print_args = self.print_args.copy()
+            print_args.update(kwargs)
+        else:
+            print_args = kwargs
+        print(*args, file=self.outfile, **print_args)
+
+    def newline(self):
+        print(file=self.outfile)
+
+
+class TitlePrinter(Printer):
+    """Printer that over/underlines titles per heading level."""
+
+    def __init__(
+        self,
+        outfile,
+        levels=(("=", "="), ("-", "-"), ("-", None), ("~", None)),
+        **kwargs,
+    ):
+        super().__init__(outfile, **kwargs)
+        self.levels = levels
+
+    def __call__(self, *title, level=None, newline=True, **kwargs):
+        title = " ".join(title)
+        if level is not None:
+            if level >= len(self.levels):
+                raise ValueError("Invalid level: {}".format(level))
+            underline, overline = self.levels[level]
+            if overline is True:
+                overline = underline
+            width = len(title)
+            if overline:
+                self._print(overline * width, **kwargs)
+            self._print(title, **kwargs)
+            if underline:
+                self._print(underline * width, **kwargs)
+        else:
+            self._print(title, **kwargs)
+        if newline:
+            self.newline()
+
+
 def _print_overview(summary, out):
     print("=" * 10, file=out)
     print(
@@ -135,3 +196,58 @@ def generate_report(summary, outfile):
     with open_output(outfile, "w", context_wrapper=True) as out:
         _print_overview(summary, out)
         _print_totals(summary, out)
+
+
+def _print_stats_tables(label, stats, out):
+    tprint = TitlePrinter(out)
+    tprint("Read statistics: {}".format(label), level=1)
+    for read_key in ("read1", "read2"):
+        if read_key not in stats:
+            continue
+        read_stats = stats[read_key]
+        print("{}: {:,} reads".format(read_key, read_stats["counts"]), file=out)
+        lengths = read_stats.get("lengths", {})
+        if lengths and "summary" in lengths:
+            print(
+                "  length: mean={:.2f} median={} stdev={:.2f}".format(
+                    lengths["summary"]["mean"],
+                    lengths["summary"]["median"],
+                    lengths["summary"]["stdev"],
+                ),
+                file=out,
+            )
+        gc = read_stats.get("gc", {})
+        if gc and "summary" in gc:
+            print("  GC%: mean={:.2f}".format(gc["summary"]["mean"]), file=out)
+        quals = read_stats.get("qualities")
+        if quals:
+            print(
+                "  mean read quality histogram: {}".format(dict(quals)),
+                file=out,
+            )
+    print(file=out)
+
+
+def generate_stats_report(out, summary):
+    """Text report for the qc command (and --stats trim runs)."""
+    _print_overview(summary, out)
+    _print_totals(summary, out)
+    for section in ("pre", "post"):
+        if section not in summary:
+            continue
+        data = summary[section]
+        for source, stats in data.items():
+            if isinstance(stats, dict) and (
+                "read1" in stats or "read2" in stats
+            ):
+                _print_stats_tables(
+                    "{} (source {})".format(section, source), stats, out
+                )
+            elif isinstance(stats, dict):
+                # post-trim stats are keyed by destination filter
+                for sub_source, sub_stats in stats.items():
+                    _print_stats_tables(
+                        "{} ({}, source {})".format(section, source, sub_source),
+                        sub_stats,
+                        out,
+                    )

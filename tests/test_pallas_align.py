@@ -1,0 +1,106 @@
+"""Differential parity tests: Pallas DP kernel vs the scalar oracle.
+
+Runs in Pallas interpret mode on CPU (exact same program the TPU runs,
+minus Mosaic codegen)."""
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+from atropos_tpu.align import oracle
+from atropos_tpu.align.batched import encode_reads
+from .test_batched_align import FLAG_CASES, PREFIX, SUFFIX, _random_read
+
+
+def _make_pallas(aligner_args):
+    from atropos_tpu.align import pallas_kernel
+
+    cls = pallas_kernel.PallasAligner
+    obj = cls(
+        aligner_args["reference"],
+        aligner_args["max_error_rate"],
+        aligner_args["flags"],
+        wildcard_ref=aligner_args.get("wildcard_ref", False),
+        wildcard_query=aligner_args.get("wildcard_query", False),
+        min_overlap=aligner_args.get("min_overlap", 1),
+        indel_cost=aligner_args.get("indel_cost", 1),
+    )
+    if jax.default_backend() == "cpu":
+        # interpret mode for CPU testing
+        obj.INTERPRET = True
+    return obj
+
+
+def _assert_parity(aligner_args, reads, label):
+    scalar = oracle.Aligner(**aligner_args)
+    pallas = _make_pallas(aligner_args)
+    arr, lengths = encode_reads(reads)
+    out = pallas.locate_batch(arr, lengths)
+    out = {key: np.asarray(val) for key, val in out.items()}
+    for idx, read in enumerate(reads):
+        expected = scalar.locate(read)
+        got = (
+            tuple(
+                int(out[key][idx])
+                for key in ("start1", "stop1", "start2", "stop2", "matches", "cost")
+            )
+            if out["found"][idx]
+            else None
+        )
+        assert got == expected, "{}: read {} ({!r}): {} != {}".format(
+            label, idx, read, got, expected
+        )
+
+
+@pytest.mark.parametrize("name,flags", FLAG_CASES)
+@pytest.mark.parametrize("indel_cost", [1, 100000])
+def test_pallas_parity(name, flags, indel_cost):
+    rng = random.Random(hash((name, indel_cost, "pallas")) & 0xFFFF)
+    adapter = "TTAGACATATCTCCGTCG"
+    reads = [_random_read(rng, adapter, flags) for _ in range(50)]
+    reads += ["", "A", adapter, adapter * 2, adapter[:4]]
+    _assert_parity(
+        dict(
+            reference=adapter,
+            max_error_rate=0.1,
+            flags=flags,
+            min_overlap=3,
+            indel_cost=indel_cost,
+        ),
+        reads,
+        "pallas/{}/ic{}".format(name, indel_cost),
+    )
+
+
+@pytest.mark.parametrize("name,flags", FLAG_CASES[:2])
+def test_pallas_parity_wildcards(name, flags):
+    rng = random.Random(hash((name, "wc")) & 0xFFFF)
+    adapter = "ACGTNNNACGTRYK"
+    reads = [_random_read(rng, "ACGTACGACGTAGA", flags) for _ in range(30)]
+    _assert_parity(
+        dict(
+            reference=adapter,
+            max_error_rate=0.1,
+            flags=flags,
+            wildcard_ref=True,
+            min_overlap=3,
+        ),
+        reads,
+        "pallas-wc/" + name,
+    )
+
+
+def test_pallas_literal_n():
+    """ASCII mode must treat 'N'=='N' as a match (exact byte compare)."""
+    _assert_parity(
+        dict(
+            reference="NNNNNN",
+            max_error_rate=0.2,
+            flags=FLAG_CASES[0][1],
+            min_overlap=3,
+        ),
+        ["ACGTNNNNNNACGT", "NNNNNN", "ACGTACGT"],
+        "pallas-literalN",
+    )
