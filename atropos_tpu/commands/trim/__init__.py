@@ -638,15 +638,27 @@ class CommandRunner(BaseCommandRunner):
 
         # device engine (batched kernels) for eligible configurations
         engine = None
+        engine_on = False
         if isinstance(record_handler, RecordHandler):
             from atropos_tpu.engine import TrimEngine, engine_enabled
 
-            if engine_enabled():
+            engine_on = engine_enabled()
+            if engine_on:
                 engine = TrimEngine.build(modifiers, options)
                 if engine is not None:
                     logger.info("Using batched device engine for adapter matching")
 
         if options.threads is None:
+            if engine_on:
+                # turbo path: streaming native-parse + device kernels +
+                # native format, for interval-expressible configurations
+                # (works with or without adapters)
+                from atropos_tpu.engine.turbo import TurboTrimRunner
+
+                turbo = TurboTrimRunner.build(self, record_handler, writers)
+                if turbo is not None:
+                    self.summary.update(mode="turbo", threads=1)
+                    return turbo.run()
             # serial mode
             result_handler = WorkerResultHandler(WriterResultHandler(writers))
             if options.paired:

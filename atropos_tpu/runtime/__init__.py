@@ -1,0 +1,206 @@
+"""Native runtime: C++ FASTQ parser/formatter with ctypes bindings.
+
+Compiles ``fastq.cpp`` on first import (cached as ``libfastq.so`` next to
+the source; rebuilt when the source is newer). Falls back to None exports
+if no compiler is available — callers must then use the Python I/O path.
+"""
+import ctypes
+import logging
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "fastq.cpp")
+_LIB = os.path.join(_HERE, "libfastq.so")
+
+
+def _build():
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    try:
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
+            _SRC
+        ):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+    except Exception as exc:  # pragma: no cover - no toolchain
+        logging.getLogger(__name__).warning(
+            "native fastq runtime unavailable (%s); using Python I/O", exc
+        )
+        return None
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    lib.fastq_parse.restype = ctypes.c_int64
+    lib.fastq_parse.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64,
+        i64p, i32p, i64p, i32p, i64p, i32p, i64p, i32p, i64p,
+    ]
+    lib.gather_padded.restype = None
+    lib.gather_padded.argtypes = [
+        u8p, i64p, i32p, ctypes.c_int64, ctypes.c_int64, u8p,
+    ]
+    lib.fastq_format_trimmed.restype = ctypes.c_int64
+    lib.fastq_format_trimmed.argtypes = [
+        u8p,
+        i64p, i32p, i64p, i64p, i32p, i64p,
+        i32p, i32p, u8p, ctypes.c_int64,
+        u8p, ctypes.c_int64,
+    ]
+    return lib
+
+
+_lib = _load()
+
+
+def available():
+    return _lib is not None
+
+
+def _u8(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i64(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _i32(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class FastqChunk:
+    """Parsed index over a raw FASTQ buffer."""
+
+    __slots__ = (
+        "buf", "n", "consumed",
+        "name_off", "name_len", "seq_off", "seq_len",
+        "plus_off", "plus_len", "qual_off", "qual_len",
+    )
+
+    def __init__(self, buf, n, consumed, arrays):
+        self.buf = buf
+        self.n = n
+        self.consumed = consumed
+        (
+            self.name_off, self.name_len,
+            self.seq_off, self.seq_len,
+            self.plus_off, self.plus_len,
+            self.qual_off, self.qual_len,
+        ) = arrays
+
+    def padded_sequences(self, width=None):
+        """Zero-padded [n, width] uint8 matrix of the sequences."""
+        if width is None:
+            width = int(self.seq_len.max()) if self.n else 0
+        out = np.zeros((self.n, width), dtype=np.uint8)
+        _lib.gather_padded(
+            _u8(self.buf), _i64(self.seq_off), _i32(self.seq_len),
+            self.n, width, _u8(out),
+        )
+        return out
+
+    def padded_qualities(self, width=None):
+        if width is None:
+            width = int(self.qual_len.max()) if self.n else 0
+        out = np.zeros((self.n, width), dtype=np.uint8)
+        _lib.gather_padded(
+            _u8(self.buf), _i64(self.qual_off), _i32(self.qual_len),
+            self.n, width, _u8(out),
+        )
+        return out
+
+    def format_trimmed(self, keep_start, keep_stop, keep=None):
+        """Assemble trimmed FASTQ bytes for kept records."""
+        keep_start = np.ascontiguousarray(keep_start, dtype=np.int32)
+        keep_stop = np.ascontiguousarray(keep_stop, dtype=np.int32)
+        if keep is None:
+            keep = np.ones(self.n, dtype=np.uint8)
+        else:
+            keep = np.ascontiguousarray(keep, dtype=np.uint8)
+        cap = int(
+            self.n * 8
+            + self.name_len.sum()
+            + self.plus_len.sum()
+            + 2 * np.maximum(keep_stop - keep_start, 0).sum()
+        ) + 16
+        out = np.empty(cap, dtype=np.uint8)
+        written = _lib.fastq_format_trimmed(
+            _u8(self.buf),
+            _i64(self.name_off), _i32(self.name_len),
+            _i64(self.seq_off),
+            _i64(self.plus_off), _i32(self.plus_len),
+            _i64(self.qual_off),
+            _i32(keep_start), _i32(keep_stop), _u8(keep),
+            self.n,
+            _u8(out), cap,
+        )
+        if written < 0:
+            raise RuntimeError("fastq_format_trimmed: output capacity exceeded")
+        return out[:written].tobytes()
+
+
+class FastqParseError(Exception):
+    pass
+
+
+_ERRORS = {
+    -1: "malformed record start (expected '@')",
+    -2: "missing '+' separator line",
+    -3: "sequence/quality length mismatch",
+    -4: "record capacity exceeded",
+}
+
+
+def parse_chunk(buf, max_records=None):
+    """Parse a bytes/ndarray FASTQ buffer into a :class:`FastqChunk`.
+
+    The final record must be complete (ends with a newline or the chunk
+    is truncated before it; ``chunk.consumed`` reports how many bytes were
+    used, so streaming callers can carry the remainder forward).
+    """
+    if _lib is None:
+        raise RuntimeError("native fastq runtime not available")
+    if isinstance(buf, (bytes, bytearray, memoryview)):
+        buf = np.frombuffer(buf, dtype=np.uint8)
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    if max_records is None:
+        # lower bound: each record needs >= 8 bytes ('@\nA\n+\nB\n')
+        max_records = max(16, buf.size // 8 + 1)
+    name_off = np.empty(max_records, np.int64)
+    name_len = np.empty(max_records, np.int32)
+    seq_off = np.empty(max_records, np.int64)
+    seq_len = np.empty(max_records, np.int32)
+    plus_off = np.empty(max_records, np.int64)
+    plus_len = np.empty(max_records, np.int32)
+    qual_off = np.empty(max_records, np.int64)
+    qual_len = np.empty(max_records, np.int32)
+    consumed = np.zeros(1, np.int64)
+    n = _lib.fastq_parse(
+        _u8(buf), buf.size, max_records,
+        _i64(name_off), _i32(name_len),
+        _i64(seq_off), _i32(seq_len),
+        _i64(plus_off), _i32(plus_len),
+        _i64(qual_off), _i32(qual_len),
+        _i64(consumed),
+    )
+    if n < 0:
+        raise FastqParseError(_ERRORS.get(int(n), "unknown error {}".format(n)))
+    n = int(n)
+    arrays = tuple(
+        arr[:n]
+        for arr in (
+            name_off, name_len, seq_off, seq_len,
+            plus_off, plus_len, qual_off, qual_len,
+        )
+    )
+    return FastqChunk(buf, n, int(consumed[0]), arrays)

@@ -1,0 +1,146 @@
+// Native FASTQ runtime: chunk parser and trimmed-record formatter.
+//
+// The Python/device pipeline needs record STRUCTURE (offsets/lengths), not
+// string objects: the parser scans a raw buffer once and emits an index
+// (per-record offsets of name/sequence/quality and their lengths), which
+// numpy wraps zero-copy. The formatter assembles trimmed FASTQ output
+// directly from the original buffer plus per-read keep-intervals, without
+// materializing per-record Python strings. Together they replace the
+// reference's per-record Python parsing (atropos/io/_seqio.pyx FastqReader)
+// at native memory bandwidth.
+//
+// Build: g++ -O3 -march=native -shared -fPIC fastq.cpp -o libfastq.so
+// ABI: plain C functions (ctypes-friendly).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Parse FASTQ records from buf[0:len).
+//
+// Outputs (arrays of capacity max_records, caller-allocated):
+//   name_off/name_len: '@'-line payload (without '@' or newline, CR stripped)
+//   seq_off/seq_len:   sequence line
+//   plus_off/plus_len: '+'-line payload (without '+')
+//   qual_off/qual_len: quality line
+//
+// Stops at the last COMPLETE record that ends before len (so callers can
+// stream arbitrary chunk boundaries); *consumed is set to the offset just
+// past the last complete record. Returns the number of records parsed, or
+// a negative error code: -1 malformed record start, -2 missing '+',
+// -3 seq/qual length mismatch, -4 output capacity exhausted.
+int64_t fastq_parse(
+    const uint8_t* buf, int64_t len,
+    int64_t max_records,
+    int64_t* name_off, int32_t* name_len,
+    int64_t* seq_off, int32_t* seq_len,
+    int64_t* plus_off, int32_t* plus_len,
+    int64_t* qual_off, int32_t* qual_len,
+    int64_t* consumed)
+{
+    int64_t pos = 0;
+    int64_t n = 0;
+    *consumed = 0;
+
+    auto find_eol = [&](int64_t start, int64_t* line_end, int64_t* next) -> bool {
+        const uint8_t* nl = (const uint8_t*)memchr(buf + start, '\n', (size_t)(len - start));
+        if (!nl) return false;
+        int64_t e = nl - buf;
+        *next = e + 1;
+        if (e > start && buf[e - 1] == '\r') e -= 1;  // CRLF
+        *line_end = e;
+        return true;
+    };
+
+    while (pos < len) {
+        if (n >= max_records) { return -4; }
+        int64_t l1e, l2e, l3e, l4e, p2, p3, p4, p5;
+        if (buf[pos] != '@') {
+            // tolerate trailing newline-only garbage at end of buffer
+            if (pos + 1 >= len && (buf[pos] == '\n' || buf[pos] == '\r')) break;
+            return -1;
+        }
+        if (!find_eol(pos, &l1e, &p2)) break;
+        if (p2 >= len) break;
+        if (!find_eol(p2, &l2e, &p3)) break;
+        if (p3 >= len || buf[p3] != '+') { if (p3 >= len) break; return -2; }
+        if (!find_eol(p3, &l3e, &p4)) break;
+        if (p4 >= len) break;
+        if (!find_eol(p4, &l4e, &p5)) break;
+
+        name_off[n] = pos + 1;
+        name_len[n] = (int32_t)(l1e - pos - 1);
+        seq_off[n] = p2;
+        seq_len[n] = (int32_t)(l2e - p2);
+        plus_off[n] = p3 + 1;
+        plus_len[n] = (int32_t)(l3e - p3 - 1);
+        qual_off[n] = p4;
+        qual_len[n] = (int32_t)(l4e - p4);
+        if (seq_len[n] != qual_len[n]) return -3;
+        n += 1;
+        pos = p5;
+        *consumed = pos;
+    }
+    return n;
+}
+
+// Gather variable-length records into a fixed-width padded matrix.
+// out must be [n_records * width]; rows are zero-padded.
+void gather_padded(
+    const uint8_t* buf,
+    const int64_t* offs, const int32_t* lens,
+    int64_t n_records, int64_t width,
+    uint8_t* out)
+{
+    for (int64_t i = 0; i < n_records; ++i) {
+        int64_t l = lens[i];
+        if (l > width) l = width;
+        memcpy(out + i * width, buf + offs[i], (size_t)l);
+        memset(out + i * width + l, 0, (size_t)(width - l));
+    }
+}
+
+// Assemble trimmed FASTQ output.
+//
+// For each record i with keep[i] != 0, writes:
+//   '@' name '\n' seq[start:stop] '\n' '+' plus '\n' qual[start:stop] '\n'
+// into out (capacity out_cap). Returns bytes written, or -1 if out_cap is
+// insufficient.
+int64_t fastq_format_trimmed(
+    const uint8_t* buf,
+    const int64_t* name_off, const int32_t* name_len,
+    const int64_t* seq_off,
+    const int64_t* plus_off, const int32_t* plus_len,
+    const int64_t* qual_off,
+    const int32_t* keep_start, const int32_t* keep_stop,
+    const uint8_t* keep,
+    int64_t n_records,
+    uint8_t* out, int64_t out_cap)
+{
+    int64_t w = 0;
+    for (int64_t i = 0; i < n_records; ++i) {
+        if (!keep[i]) continue;
+        int64_t klen = keep_stop[i] - keep_start[i];
+        if (klen < 0) klen = 0;
+        int64_t need = 1 + name_len[i] + 1 + klen + 2 + plus_len[i] + 1 + klen + 1;
+        if (w + need > out_cap) return -1;
+        out[w++] = '@';
+        memcpy(out + w, buf + name_off[i], (size_t)name_len[i]);
+        w += name_len[i];
+        out[w++] = '\n';
+        memcpy(out + w, buf + seq_off[i] + keep_start[i], (size_t)klen);
+        w += klen;
+        out[w++] = '\n';
+        out[w++] = '+';
+        memcpy(out + w, buf + plus_off[i], (size_t)plus_len[i]);
+        w += plus_len[i];
+        out[w++] = '\n';
+        memcpy(out + w, buf + qual_off[i] + keep_start[i], (size_t)klen);
+        w += klen;
+        out[w++] = '\n';
+    }
+    return w;
+}
+
+}  // extern "C"

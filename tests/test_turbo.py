@@ -1,0 +1,132 @@
+"""Differential tests: turbo path vs scalar pipeline (byte-exact)."""
+import json
+import random
+
+import pytest
+
+from atropos_tpu import runtime
+from atropos_tpu.commands import get_command
+
+from .conformance_utils import datapath
+
+pytestmark = pytest.mark.skipif(
+    not runtime.available(), reason="native runtime unavailable"
+)
+
+ADAPTER = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
+
+
+def _write_synthetic(path, n=500, read_len=100, seed=11):
+    rng = random.Random(seed)
+    with open(path, "w") as out:
+        for i in range(n):
+            seq = "".join(rng.choice("ACGT") for _ in range(read_len))
+            if rng.random() < 0.5:
+                pos = rng.randrange(10, read_len - 3)
+                alen = min(len(ADAPTER), read_len - pos)
+                seq = (seq[:pos] + ADAPTER[:alen] + seq[pos + alen :])[:read_len]
+            if rng.random() < 0.1:
+                seq = seq[: rng.randrange(5, read_len)]
+            qual = "".join(
+                chr(33 + rng.randint(2, 40)) for _ in range(len(seq))
+            )
+            out.write("@r{}/1 x\n{}\n+\n{}\n".format(i, seq, qual))
+    return path
+
+
+def _run(tmp_path, args, infile, tag, turbo):
+    out = str(tmp_path / "out-{}.fastq".format(tag))
+    rep = str(tmp_path / "rep-{}.json".format(tag))
+    argv = list(args) + [
+        "-se", infile, "-o", out,
+        "--no-cache-adapters", "--no-default-adapters",
+        "--report-file", rep, "--quiet",
+    ]
+    import os
+
+    old = os.environ.get("ATROPOS_TPU_ENGINE")
+    os.environ["ATROPOS_TPU_ENGINE"] = "1" if turbo else "0"
+    try:
+        retcode, summary = get_command("trim").execute(argv)
+    finally:
+        if old is None:
+            os.environ.pop("ATROPOS_TPU_ENGINE", None)
+        else:
+            os.environ["ATROPOS_TPU_ENGINE"] = old
+    assert retcode == 0, summary.get("exception")
+    return out, rep, summary
+
+
+AD = "tru=" + ADAPTER
+CONFIGS = [
+    ["-a", AD],
+    ["-a", AD, "-q", "20", "-m", "14"],
+    ["-a", AD, "-q", "15,20"],
+    ["-a", AD, "-u", "3", "-u", "-2"],
+    ["-a", AD, "--nextseq-trim", "22"],
+    ["-a", AD, "-m", "30", "-M", "90", "--max-n", "0.1"],
+    ["-a", AD, "--discard-untrimmed"],
+    ["-a", AD, "--discard-trimmed"],
+    ["-g", "front=ACGTACGTAA"],
+    ["-b", "anyw=TTAGACATAT"],
+    ["-a", AD, "-a", "two=TTAGACATATCTCCGTCG", "-O", "5"],
+    ["-a", "wild=ACGTNNNACGT"],  # wildcard adapter
+    ["-q", "20", "-m", "10"],  # no adapters at all
+]
+
+
+@pytest.mark.parametrize("config", CONFIGS, ids=lambda c: " ".join(c))
+def test_turbo_matches_scalar(tmp_path, config):
+    infile = _write_synthetic(str(tmp_path / "in.fastq"))
+    out_s, rep_s, sum_s = _run(tmp_path, config, infile, "scalar", turbo=False)
+    out_t, rep_t, sum_t = _run(tmp_path, config, infile, "turbo", turbo=True)
+    assert sum_t.get("mode") == "turbo", "turbo path not taken"
+    with open(out_s) as fh:
+        scalar_data = fh.read()
+    with open(out_t) as fh:
+        turbo_data = fh.read()
+    assert turbo_data == scalar_data
+    # summaries must agree on the consequential counters
+    rep_scalar = json.load(open(rep_s))
+    rep_turbo = json.load(open(rep_t))
+    for key in (
+        "total_record_count",
+        "total_bp_counts",
+        "record_counts",
+        "bp_counts",
+    ):
+        assert rep_turbo[key] == rep_scalar[key], key
+    trim_s = rep_scalar.get("trim")
+    trim_t = rep_turbo.get("trim")
+    if trim_s:
+        assert trim_t["formatters"] == trim_s["formatters"]
+        assert trim_t["filters"] == trim_s["filters"]
+        assert trim_t["modifiers"] == trim_s["modifiers"]
+
+
+def test_turbo_small_fixture(tmp_path):
+    """Turbo on the upstream small.fastq fixture matches the golden file."""
+    from .conformance_utils import assert_files_equal, cutpath
+
+    out, _, summary = _run(
+        tmp_path,
+        ["-b", "small=TTAGACATATCTCCGTCG"],
+        datapath("small.fastq"),
+        "turbo-small",
+        turbo=True,
+    )
+    assert summary.get("mode") == "turbo"
+    assert_files_equal(cutpath("small.fastq"), out)
+
+
+def test_turbo_ineligible_falls_back(tmp_path):
+    """Configs outside the turbo envelope must fall back cleanly."""
+    infile = _write_synthetic(str(tmp_path / "in.fastq"), n=50)
+    out, _, summary = _run(
+        tmp_path,
+        ["-a", ADAPTER, "--times", "2"],
+        infile,
+        "fallback",
+        turbo=True,
+    )
+    assert summary.get("mode") == "serial"
