@@ -216,12 +216,16 @@ class InsertAligner:
             min_insert_overlap,
         )
 
-    def match_insert(self, seq1, seq2):
+    def match_insert(self, seq1, seq2, precomputed_matches=False):
         """Try to find the insert overlap between a read pair.
 
         Returns ``(insert_match, adapter_match1, adapter_match2)`` where the
         adapter matches may be None (overlap too short to verify adapters),
         or None if there is no insert match at all.
+
+        ``precomputed_matches`` may carry candidate alignments computed by
+        the batched device MultiAligner (``None`` meaning "computed, no
+        candidates"); pass ``False`` (default) to run the scalar aligner.
         """
         seq_len1 = len(seq1)
         seq_len2 = len(seq2)
@@ -279,7 +283,10 @@ class InsertAligner:
                 _create_match(a2_length, seq_len2),
             )
 
-        insert_matches = self.aligner.locate(seq2_rc, seq1)
+        if precomputed_matches is False:
+            insert_matches = self.aligner.locate(seq2_rc, seq1)
+        else:
+            insert_matches = precomputed_matches
 
         if insert_matches:
             filtered_matches = []

@@ -601,3 +601,288 @@ def nextseq_trim_batch(seqs_u8, quals_u8, lengths, cutoff, base=33):
         cut,
         base,
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched MultiAligner (no-indel top-K; reference ``_align.pyx:548-787``)
+# ---------------------------------------------------------------------------
+
+
+class BatchMultiAligner:
+    """Batched no-indel aligner returning up to ``max_matches`` candidates
+    per read, used by the paired-end insert matcher.
+
+    Without indels the cell recurrence is a pure diagonal shift
+    (``new[i] = old[i-1] + mismatch``), so the column update has no
+    within-column dependency at all; only the band bookkeeping and
+    candidate recording carry state. Candidate slots are fixed-size
+    ([B, K]) with a per-read cursor, written via one-hot selects.
+    """
+
+    def __init__(self, max_error_rate, flags=None, min_overlap=1, max_matches=100):
+        from atropos_tpu.align.flags import SEMIGLOBAL
+
+        self.max_error_rate = max_error_rate
+        self.flags = SEMIGLOBAL if flags is None else flags
+        self.min_overlap = min_overlap
+        self.max_matches = max_matches
+        self._kernels = {}
+
+    def _get_kernel(self, m, L):
+        key = (m, L)
+        if key not in self._kernels:
+            thresholds = _error_thresholds(m, self.max_error_rate)
+            self._kernels[key] = jax.jit(
+                functools.partial(
+                    _multi_locate_kernel,
+                    m=m,
+                    k=int(self.max_error_rate * m),
+                    flags=self.flags,
+                    min_overlap=self.min_overlap,
+                    max_matches=self.max_matches,
+                    thresholds=tuple(int(t) for t in thresholds),
+                )
+            )
+        return self._kernels[key]
+
+    def locate_batch(self, refs_u8, ref_lengths, reads_u8, lengths):
+        """Align one (per-read) reference against each read.
+
+        For the insert matcher the 'reference' differs per read (it is
+        rc(read2)); refs_u8 is [B, m_max] with per-read lengths. All refs
+        in a batch must have the same length m (callers group by length).
+        """
+        raise NotImplementedError(
+            "per-read references handled by locate_batch_same_ref groups"
+        )
+
+    def locate_same_shape(self, refs_u8, reads_u8, m, lengths):
+        """Batch where every ref has length m and every read is padded to
+        the same width. refs_u8: [B, m]; reads_u8: [B, L]; lengths: [B]
+        (query lengths). Returns fixed-K candidate arrays."""
+        kernel = self._get_kernel(m, reads_u8.shape[1])
+        return kernel(
+            jnp.asarray(np.ascontiguousarray(refs_u8.T).astype(np.int32)),
+            jnp.asarray(np.ascontiguousarray(reads_u8.T).astype(np.int32)),
+            jnp.asarray(np.asarray(lengths, np.int32)),
+        )
+
+    @staticmethod
+    def extract(out_np, b):
+        """Convert kernel output for read ``b`` into the scalar API's
+        candidate list (``MultiAligner.locate`` format): a list of
+        (refstart, refstop, querystart, querystop, matches, errors)
+        tuples, or None. Exact matches collapse to a single candidate,
+        reproducing the reference (``_align.pyx:773-776``)."""
+        count = int(out_np["count"][b])
+        if count == 0:
+            return None
+        exact = int(out_np["exact"][b])
+        slots = (exact,) if exact >= 0 else range(count)
+        result = []
+        for s in slots:
+            origin = int(out_np["origin"][b, s])
+            cost = int(out_np["cost"][b, s])
+            matches = int(out_np["matches"][b, s])
+            ref_stop = int(out_np["ref_stop"][b, s])
+            query_stop = int(out_np["query_stop"][b, s])
+            if origin >= 0:
+                start1, start2 = 0, origin
+            else:
+                start1, start2 = -origin, 0
+            result.append(
+                (start1, ref_stop, start2, query_stop, matches, cost)
+            )
+        return result
+
+
+def _multi_locate_kernel(
+    refs_T,     # [m, B] int32 — per-read reference bytes
+    reads_T,    # [L, B] int32
+    lengths,    # [B]
+    *,
+    m,
+    k,
+    flags,
+    min_overlap,
+    max_matches,
+    thresholds,
+):
+    from atropos_tpu.align.flags import (
+        OVERHANG_MULTIPLIER,
+        START_WITHIN_SEQ1,
+        START_WITHIN_SEQ2,
+        STOP_WITHIN_SEQ1,
+        STOP_WITHIN_SEQ2,
+    )
+
+    L, batch = reads_T.shape
+    start_in_ref = bool(flags & START_WITHIN_SEQ1)
+    start_in_query = bool(flags & START_WITHIN_SEQ2)
+    stop_in_ref = bool(flags & STOP_WITHIN_SEQ1)
+    stop_in_query = bool(flags & STOP_WITHIN_SEQ2)
+
+    K_SLOTS = max_matches + m + 2
+    OM = OVERHANG_MULTIPLIER
+
+    n = lengths[None, :].astype(jnp.int32)  # [1, B]
+    max_n = n if start_in_query else jnp.minimum(n, m + k)
+    min_n = jnp.zeros_like(n) if stop_in_query else jnp.maximum(0, n - m - k)
+
+    rows = jnp.arange(m + 1, dtype=jnp.int32)[:, None]  # [m+1, 1]
+    thresh_col = jnp.asarray(np.asarray(thresholds, np.int32))[:, None]
+
+    # initial column (reference ``_align.pyx:646-665``)
+    if not start_in_ref and not start_in_query:
+        cost0 = jnp.maximum(rows, min_n) * OM
+        org0 = jnp.zeros((m + 1, batch), jnp.int32)
+    elif start_in_ref and not start_in_query:
+        cost0 = jnp.broadcast_to(min_n * OM, (m + 1, batch))
+        org0 = jnp.minimum(0, min_n - rows)
+    elif not start_in_ref and start_in_query:
+        cost0 = jnp.broadcast_to(rows * OM, (m + 1, batch))
+        org0 = jnp.maximum(0, min_n - rows)
+    else:
+        cost0 = jnp.minimum(rows, min_n) * OM
+        org0 = min_n - rows
+    cost0 = jnp.broadcast_to(cost0, (m + 1, batch)).astype(jnp.int32)
+    org0 = jnp.broadcast_to(org0, (m + 1, batch)).astype(jnp.int32)
+    mat0 = jnp.zeros((m + 1, batch), jnp.int32)
+
+    last0 = jnp.full((1, batch), m if start_in_ref else min(m, k + 1), jnp.int32)
+    done0 = jnp.zeros((1, batch), bool)
+    broke0 = jnp.zeros((1, batch), bool)
+    count0 = jnp.zeros((1, batch), jnp.int32)
+    exact0 = jnp.full((1, batch), -1, jnp.int32)
+
+    slots0 = dict(
+        origin=jnp.zeros((K_SLOTS, batch), jnp.int32),
+        cost=jnp.zeros((K_SLOTS, batch), jnp.int32),
+        matches=jnp.zeros((K_SLOTS, batch), jnp.int32),
+        ref_stop=jnp.zeros((K_SLOTS, batch), jnp.int32),
+        query_stop=jnp.zeros((K_SLOTS, batch), jnp.int32),
+    )
+    slot_rows = jnp.arange(K_SLOTS, dtype=jnp.int32)[:, None]
+
+    def record(slots, count, mask, origin, cost, matches, ref_stop, query_stop):
+        """Append a candidate at each read's cursor where mask is set."""
+        sel = mask & (slot_rows == count)
+        upd = lambda arr, val: jnp.where(sel, val, arr)
+        slots = dict(
+            origin=upd(slots["origin"], origin),
+            cost=upd(slots["cost"], cost),
+            matches=upd(slots["matches"], matches),
+            ref_stop=upd(slots["ref_stop"], ref_stop),
+            query_stop=upd(slots["query_stop"], query_stop),
+        )
+        return slots, count + mask.astype(jnp.int32)
+
+    def column_step(carry, xs):
+        cost_c, mat_c, org_c, last, done, broke, count, exact, slots = carry
+        j, qc = xs  # qc [1, B]
+        active = (j > min_n) & (j <= max_n) & (~done)
+
+        if start_in_query:
+            new0_cost = cost_c[0:1]
+            new0_org = jnp.full((1, batch), j, jnp.int32)
+            new0_mat = mat_c[0:1]
+        else:
+            new0_cost = jnp.minimum(j * OM, jnp.int32(2 ** 30))[None, None][0]
+            new0_cost = jnp.broadcast_to(new0_cost, (1, batch))
+            new0_org = org_c[0:1]
+            new0_mat = mat_c[0:1]
+
+        eq = refs_T == qc  # [m, B]
+        new_cost = jnp.concatenate(
+            [new0_cost, cost_c[:-1] + jnp.where(eq, 0, 1)], axis=0
+        )
+        new_org = jnp.concatenate([new0_org, org_c[:-1]], axis=0)
+        new_mat = jnp.concatenate(
+            [new0_mat, mat_c[:-1] + eq.astype(jnp.int32)], axis=0
+        )
+
+        write = active & (((rows <= last) & (rows >= 1)) | (rows == 0))
+        cost_c = jnp.where(write, new_cost, cost_c)
+        org_c = jnp.where(write, new_org, org_c)
+        mat_c = jnp.where(write, new_mat, mat_c)
+
+        in_band = (rows <= last) & (cost_c <= k)
+        L_idx = jnp.max(jnp.where(in_band, rows, -1), axis=0, keepdims=True)
+        new_last = jnp.minimum(L_idx + 1, m)
+
+        if stop_in_query:
+            at_bottom = active & (L_idx == m)
+            cost_m = cost_c[m : m + 1]
+            org_m = org_c[m : m + 1]
+            mat_m = mat_c[m : m + 1]
+            length_m = m + jnp.minimum(org_m, 0)
+            thresh_m = jnp.max(
+                jnp.where(rows == length_m, thresh_col, -(2 ** 30)),
+                axis=0,
+                keepdims=True,
+            )
+            ok = (
+                at_bottom
+                & (length_m >= min_overlap)
+                & (cost_m <= thresh_m)
+            )
+            slots, count = record(
+                slots, count, ok, org_m, cost_m, mat_m,
+                jnp.full((1, batch), m, jnp.int32),
+                jnp.broadcast_to(j, (1, batch)).astype(jnp.int32),
+            )
+            is_exact = ok & (cost_m == 0) & (mat_m == m)
+            exact = jnp.where(is_exact & (exact < 0), count - 1, exact)
+            hit_cap = ok & (count >= max_matches)
+            newly_done = is_exact | hit_cap
+            broke = broke | (active & newly_done)
+            done = done | newly_done
+
+        last = jnp.where(active, new_last, last)
+        return (
+            cost_c, mat_c, org_c, last, done, broke, count, exact, slots
+        ), None
+
+    js = jnp.arange(1, L + 1, dtype=jnp.int32)
+    q_cols = reads_T[:, None, :]  # [L, 1, B]
+    (cost_c, mat_c, org_c, last, done, broke, count, exact, slots), _ = lax.scan(
+        column_step,
+        (cost0, mat0, org0, last0, done0, broke0, count0, exact0, slots0),
+        (js, q_cols),
+    )
+
+    # final-column scan, only for reads that did not break out early
+    # (reference for-else semantics, ``_align.pyx:746-763``)
+    first_i = 0 if stop_in_ref else m
+    do_final = (~broke) & (max_n == n)
+    max_cost = m + n
+    for i in range(first_i, m + 1):
+        cost_i = cost_c[i : i + 1]
+        org_i = org_c[i : i + 1]
+        mat_i = mat_c[i : i + 1]
+        length_i = i + jnp.minimum(org_i, 0)
+        thresh_i = jnp.max(
+            jnp.where(rows == length_i, thresh_col, -(2 ** 30)),
+            axis=0,
+            keepdims=True,
+        )
+        ok = (
+            do_final
+            & (cost_i <= max_cost)
+            & (length_i >= min_overlap)
+            & (cost_i <= thresh_i)
+        )
+        slots, count = record(
+            slots, count, ok, org_i, cost_i, mat_i,
+            jnp.full((1, batch), i, jnp.int32), jnp.broadcast_to(n, (1, batch)),
+        )
+
+    return dict(
+        count=count[0],
+        exact=exact[0],
+        origin=slots["origin"].T,
+        cost=slots["cost"].T,
+        matches=slots["matches"].T,
+        ref_stop=slots["ref_stop"].T,
+        query_stop=slots["query_stop"].T,
+    )

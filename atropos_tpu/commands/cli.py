@@ -4,7 +4,12 @@ The flag surface and validation/defaulting rules are compatible with the
 reference (``atropos/commands/cli.py``) so existing Atropos command lines
 work unchanged.
 """
-from argparse import ArgumentError, ArgumentParser, HelpFormatter
+from argparse import (
+    ArgumentError,
+    ArgumentParser,
+    ArgumentTypeError,
+    HelpFormatter,
+)
 import copy
 import logging
 from multiprocessing import cpu_count
@@ -342,10 +347,12 @@ class Delimited(TypeWithArgs):
             vals = [data_type(v) for v in vals]
 
         if min_len and len(vals) < min_len:
-            raise ArgumentError(self, "there must be at least {} values".format(min_len))
+            # ArgumentTypeError (not ArgumentError) so argparse renders a
+            # clean per-flag message on every Python version
+            raise ArgumentTypeError("there must be at least {} values".format(min_len))
 
         if max_len and len(vals) > max_len:
-            raise ArgumentError(self, "there can be at most {} values".format(max_len))
+            raise ArgumentTypeError("there can be at most {} values".format(max_len))
 
         return vals
 

@@ -318,12 +318,15 @@ class InsertAdapterCutter(ReadPairModifier, ErrorCorrectorMixin):
         self.symmetric = symmetric
         self.with_adapters = [0, 0]
 
-    def __call__(self, read1, read2):
+    def __call__(self, read1, read2, insert_candidates=False):
         read_lengths = [len(r) for r in (read1, read2)]
         if any(l < self.min_insert_len for l in read_lengths):
             return (read1, read2)
 
-        match = self.aligner.match_insert(read1.sequence, read2.sequence)
+        match = self.aligner.match_insert(
+            read1.sequence, read2.sequence,
+            precomputed_matches=insert_candidates,
+        )
         read1.insert_overlap = read2.insert_overlap = match is not None
         insert_match = None
         correct_errors = False

@@ -24,9 +24,21 @@ import numpy as np
 
 from atropos_tpu.adapters import Adapter, ColorspaceAdapter, PREFIX, SUFFIX
 from atropos_tpu.align import Match
-from atropos_tpu.align.batched import BatchAligner, encode_reads
-from atropos_tpu.align.flags import translate_pair
-from atropos_tpu.commands.trim.modifiers import AdapterCutter
+from atropos_tpu.align.batched import (
+    BatchAligner,
+    BatchMultiAligner,
+    encode_reads,
+)
+from atropos_tpu.align.flags import (
+    START_WITHIN_SEQ1,
+    STOP_WITHIN_SEQ2,
+    translate_pair,
+)
+from atropos_tpu.commands.trim.modifiers import (
+    AdapterCutter,
+    InsertAdapterCutter,
+)
+from atropos_tpu.util import reverse_complement
 
 
 def engine_enabled():
@@ -283,12 +295,27 @@ class TrimEngine:
     def __init__(self, modifiers, paired):
         self.modifiers = modifiers
         self.paired = paired
-        idx = modifiers.modifier_indexes[AdapterCutter][0]
+        self.cutter1 = self.cutter2 = None
+        self.matcher1 = self.matcher2 = None
+        self.insert_cutter = None
+        self._insert_matcher = None
+        if modifiers.has_modifier(AdapterCutter):
+            idx = modifiers.modifier_indexes[AdapterCutter][0]
+            entry = modifiers.modifiers[idx]
+            self.cutter1, self.cutter2 = entry[0], entry[1]
+            self.matcher1 = BatchMatcher(self.cutter1) if self.cutter1 else None
+            self.matcher2 = BatchMatcher(self.cutter2) if self.cutter2 else None
+        else:
+            idx = modifiers.modifier_indexes[InsertAdapterCutter][0]
+            self.insert_cutter = modifiers.modifiers[idx]
+            aligner = self.insert_cutter.aligner
+            self._insert_matcher = BatchMultiAligner(
+                aligner.max_insert_mismatch_frac,
+                flags=START_WITHIN_SEQ1 | STOP_WITHIN_SEQ2,
+                min_overlap=aligner.min_insert_overlap,
+                max_matches=100,
+            )
         self.cutter_index = idx
-        entry = modifiers.modifiers[idx]
-        self.cutter1, self.cutter2 = entry[0], entry[1]
-        self.matcher1 = BatchMatcher(self.cutter1) if self.cutter1 else None
-        self.matcher2 = BatchMatcher(self.cutter2) if self.cutter2 else None
         self.pre_entries = modifiers.modifiers[:idx]
         self.post_entries = modifiers.modifiers[idx + 1 :]
 
@@ -298,11 +325,50 @@ class TrimEngine:
         None (pipeline then runs fully scalar)."""
         if options.colorspace:
             return None
-        if not modifiers.has_modifier(AdapterCutter):
-            return None
-        if len(modifiers.modifier_indexes[AdapterCutter]) != 1:
+        if modifiers.has_modifier(AdapterCutter):
+            if len(modifiers.modifier_indexes[AdapterCutter]) != 1:
+                return None
+        elif modifiers.has_modifier(InsertAdapterCutter):
+            if len(modifiers.modifier_indexes[InsertAdapterCutter]) != 1:
+                return None
+        else:
             return None
         return cls(modifiers, options.paired)
+
+    def _insert_candidates(self, staged):
+        """Batched insert-overlap matching: for each eligible pair, run the
+        no-indel top-K aligner on (rc(read2), read1) truncated to equal
+        length — exactly the scalar ``InsertAligner.match_insert`` setup —
+        grouped by that length so each group shares one compiled kernel.
+        Returns a per-pair list of candidate lists (``False`` = pair not
+        matched here, scalar path decides)."""
+        candidates = [False] * len(staged)
+        min_len = self.insert_cutter.min_insert_len
+        groups = {}
+        for idx, (read1, read2) in enumerate(staged):
+            if read2 is None:
+                continue
+            len1, len2 = len(read1), len(read2)
+            if len1 < min_len or len2 < min_len:
+                continue
+            seq_len = min(len1, len2)
+            ref = reverse_complement(read2.sequence[:seq_len])
+            query = read1.sequence[:seq_len]
+            groups.setdefault(seq_len, []).append((idx, ref, query))
+        for m, items in groups.items():
+            batch = len(items)
+            refs = np.zeros((batch, m), np.uint8)
+            queries = np.zeros((batch, m), np.uint8)
+            for b, (_, ref, query) in enumerate(items):
+                refs[b] = np.frombuffer(ref.encode("ascii"), np.uint8)
+                queries[b] = np.frombuffer(query.encode("ascii"), np.uint8)
+            out = self._insert_matcher.locate_same_shape(
+                refs, queries, m, np.full(batch, m, np.int32)
+            )
+            out_np = {key: np.asarray(val) for key, val in out.items()}
+            for b, (idx, _, _) in enumerate(items):
+                candidates[idx] = BatchMultiAligner.extract(out_np, b)
+        return candidates
 
     # -- per-read application of a non-cutter modifier entry ----------------
 
@@ -331,7 +397,9 @@ class TrimEngine:
             staged.append((read1, read2))
 
         # phase 2: batched matching (skip empty reads — cutter ignores them)
-        matches1 = matches2 = None
+        matches1 = matches2 = insert_candidates = None
+        if self.insert_cutter is not None:
+            insert_candidates = self._insert_candidates(staged)
         if self.matcher1:
             reads1 = [r1 for r1, _ in staged]
             nonempty = [r for r in reads1 if len(r) > 0]
@@ -349,6 +417,10 @@ class TrimEngine:
         # phase 3: cutter with injected first-round matches + post modifiers
         out = []
         for idx, (read1, read2) in enumerate(staged):
+            if self.insert_cutter is not None:
+                read1, read2 = self.insert_cutter(
+                    read1, read2, insert_candidates=insert_candidates[idx]
+                )
             if self.cutter1 is not None:
                 read1 = self.cutter1(read1, first_match=matches1[idx])
             if self.cutter2 is not None and read2 is not None:

@@ -60,6 +60,48 @@ def test_engine_pe(tmp_path, monkeypatch):
     )
 
 
+def test_engine_pe_insert(tmp_path, monkeypatch):
+    """Insert-aligner mode with the batched MultiAligner kernel."""
+    monkeypatch.setenv("ATROPOS_TPU_ENGINE", "1")
+    run_paired(
+        "-a TTAGACATAT -A CAGTGGAGTA -m 14",
+        in1="paired.1.fastq",
+        in2="paired.2.fastq",
+        expected1="paired_{aligner}.1.fastq",
+        expected2="paired_{aligner}.2.fastq",
+        tmp_path=tmp_path,
+        aligners=("insert",),
+    )
+
+
+def test_engine_pe_insert_no_match(tmp_path, monkeypatch):
+    monkeypatch.setenv("ATROPOS_TPU_ENGINE", "1")
+    run_paired(
+        "-a AGATCGGAAGAGCACACGTCTGAACTCCAGTCACCAGATCATCTCGTATGCCGTCTTCTGCTTG "
+        "-A AGATCGGAAGAGCGTCGTGTAGGGAAAGAGTGTAGATCTCGGTGGTCGCCGTATCATT "
+        "-e 0.3 --adapter-max-rmp 0.001 -m 25 -q 0 --trim-n",
+        in1="insert.1.fastq",
+        in2="insert.2.fastq",
+        expected1="insert.1.fastq",
+        expected2="insert.2.fastq",
+        tmp_path=tmp_path,
+        aligners=("insert",),
+    )
+
+
+def test_engine_pe_insert_filterboth(tmp_path, monkeypatch):
+    monkeypatch.setenv("ATROPOS_TPU_ENGINE", "1")
+    run_paired(
+        "-a TTAGACATAT -A CAGTGGAGTA -m 14 --pair-filter both",
+        in1="paired.1.fastq",
+        in2="paired.2.fastq",
+        expected1="paired-filterboth_{aligner}.1.fastq",
+        expected2="paired-filterboth_{aligner}.2.fastq",
+        tmp_path=tmp_path,
+        aligners=("insert",),
+    )
+
+
 def test_engine_pe_legacy(tmp_path, monkeypatch):
     monkeypatch.setenv("ATROPOS_TPU_ENGINE", "1")
     run_paired(
