@@ -13,7 +13,7 @@ import sys
 
 from atropos_tpu import AtroposError, __version__
 from atropos_tpu.adapters import AdapterCache
-from atropos_tpu.io.seqio import open_reader
+from atropos_tpu.io.seqio import open_reader, sra_reader
 from atropos_tpu.util import Const, MergingDict, Summarizable, Timing
 
 
@@ -153,24 +153,36 @@ class BaseCommandRunner:
         self._empty_batch = [None] * self.size
         self._progress_options = None
 
-        interleaved = bool(options.interleaved_input)
-        input1 = options.interleaved_input if interleaved else options.input1
-        input2 = qualfile = None
-        if options.paired and not interleaved:
-            input2 = options.input2
+        if getattr(options, "sra_reader", None):
+            self.reader = reader = sra_reader(
+                reader=options.sra_reader,
+                quality_base=options.quality_base,
+                colorspace=options.colorspace,
+                input_read=options.input_read,
+                alphabet=options.alphabet,
+            )
+            options.sra_reader = None
         else:
-            qualfile = options.input2
-        self.reader = reader = open_reader(
-            file1=input1,
-            file2=input2,
-            file_format=options.format,
-            qualfile=qualfile,
-            quality_base=options.quality_base,
-            colorspace=options.colorspace,
-            interleaved=interleaved,
-            input_read=options.input_read,
-            alphabet=options.alphabet,
-        )
+            interleaved = bool(options.interleaved_input)
+            input1 = (
+                options.interleaved_input if interleaved else options.input1
+            )
+            input2 = qualfile = None
+            if options.paired and not interleaved:
+                input2 = options.input2
+            else:
+                qualfile = options.input2
+            self.reader = reader = open_reader(
+                file1=input1,
+                file2=input2,
+                file_format=options.format,
+                qualfile=qualfile,
+                quality_base=options.quality_base,
+                colorspace=options.colorspace,
+                interleaved=interleaved,
+                input_read=options.input_read,
+                alphabet=options.alphabet,
+            )
 
         # subsampling wrapper
         if options.subsample:

@@ -218,7 +218,38 @@ class BaseCommandParser:
         parser = self.parser
 
         if options.sra_accession:
-            parser.error("SRA streaming is not available in this build")
+            # stream directly from an SRA accession when the optional
+            # srastream library is installed (reference
+            # ``atropos/commands/cli.py:262-283``)
+            if options.format not in ("fastq", "sam", "bam", None):
+                raise ValueError(
+                    "Invalid file format for SRA accession: {}".format(
+                        options.format
+                    )
+                )
+            options.format = "fastq"
+            logging.getLogger().debug(
+                "Opening reader for SRA Accession %s", options.sra_accession
+            )
+            try:
+                from srastream import SraReader
+
+                options.sra_reader = SraReader(
+                    options.sra_accession,
+                    batch_size=options.batch_size or 1000,
+                )
+                options.sra_reader.start()
+                options.paired = options.sra_reader.paired
+            except Exception:
+                logging.getLogger().exception(
+                    "Error while fetching accession %s from SRA",
+                    options.sra_accession,
+                )
+                parser.error(
+                    "Unable to read from accession {}".format(
+                        options.sra_accession
+                    )
+                )
         elif options.single_input:
             if options.input1 or options.input2 or options.interleaved_input:
                 parser.error("Cannot use -se together with -pe1, -pe2, or -l")

@@ -66,6 +66,31 @@ class CommandRunner(BaseCommandRunner):
         if self.stats:
             pipeline_args.update(self.stats)
 
-        self.summary.update(mode="serial", threads=self.threads or 1)
+        if self.threads is None:
+            self.summary.update(mode="serial", threads=1)
+            pipeline = pipeline_class(**pipeline_args)
+            return run_interruptible(pipeline, self)
+        self.summary.update(mode="parallel", threads=self.threads)
+        return self.run_parallel(pipeline_class, pipeline_args)
+
+    def run_parallel(self, pipeline_class, pipeline_args):
+        """Run qc over forked workers, merging worker summaries (reference
+        ``atropos/commands/qc/__init__.py:66-90``)."""
+        import logging
+
+        from atropos_tpu.commands.multicore import (
+            ParallelPipelineMixin,
+            ParallelPipelineRunner,
+        )
+
+        pipeline_class = type(
+            "QcPipelineImpl", (ParallelPipelineMixin, pipeline_class), {}
+        )
         pipeline = pipeline_class(**pipeline_args)
-        return run_interruptible(pipeline, self)
+        runner = ParallelPipelineRunner(self, pipeline)
+        logging.getLogger().debug(
+            "Starting atropos qc in parallel mode with threads=%d, timeout=%d",
+            runner.threads,
+            runner.timeout,
+        )
+        return runner.run()

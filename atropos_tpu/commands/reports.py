@@ -80,13 +80,57 @@ class BaseReportGenerator:
             mod.dump(obj, stream, **kwargs)
 
     def generate_text_report(self, fmt, summary, outfile, **kwargs):
-        """Default text report: pretty-printed summary. Commands override
-        this with their purpose-built text reports."""
-        from pprint import pformat
+        """Default text report: render a Jinja2 template for the format
+        (reference ``atropos/commands/reports.py:107-110``). Commands
+        override this for their purpose-built txt reports."""
+        self.generate_from_template(fmt, summary, outfile, **kwargs)
 
-        with open_output(outfile, "w", context_wrapper=True) as stream:
-            stream.write(pformat(dict(summary)))
-            stream.write("\n")
+    def generate_from_template(
+        self,
+        fmt,
+        summary,
+        outfile,
+        template_name=None,
+        template_paths=None,
+        template_globals=None,
+    ):
+        """Render a report through a Jinja2 template named
+        ``template.<fmt>`` discovered on ``template_paths`` plus the
+        generator's ``template_path`` (reference
+        ``atropos/commands/reports.py:112-170``)."""
+        import jinja2
+
+        if not template_name:
+            template_name = "template.{}".format(fmt)
+        if not template_paths:
+            template_paths = []
+        if hasattr(self, "template_path"):
+            template_paths.append(self.template_path)
+
+        try:
+            env = jinja2.Environment(
+                loader=jinja2.FileSystemLoader(template_paths)
+            )
+            if template_globals:
+                env.globals.update(template_globals)
+            template = env.get_template(template_name)
+        except Exception:
+            raise IOError(
+                "Could not load template file '{}'".format(template_name)
+            )
+
+        report_output = template.render(summary=summary)
+
+        is_path = isinstance(outfile, str)
+        if is_path:
+            stream = open_output(outfile, "w")
+        else:
+            stream = outfile
+        try:
+            print(report_output, file=stream)
+        finally:
+            if is_path:
+                stream.close()
 
 
 def prettyprint_summary(summary, outfile="summary.dump.txt"):

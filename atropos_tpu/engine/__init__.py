@@ -59,6 +59,38 @@ def engine_enabled():
         return False
 
 
+def make_batch_aligner(adapter):
+    """Device aligner for one adapter: the Pallas kernel on accelerator
+    backends (whole column loop on-chip), the XLA scan kernel on CPU or
+    when forced with ``ATROPOS_TPU_PALLAS=0``. Both are bit-exact vs the
+    scalar oracle; this is purely a performance dispatch."""
+    kwargs = dict(
+        wildcard_ref=adapter.adapter_wildcards,
+        wildcard_query=adapter.read_wildcards,
+        min_overlap=adapter.min_overlap,
+        indel_cost=(adapter.aligner.indel_cost if adapter.indels else 100000),
+    )
+    use_pallas = os.environ.get("ATROPOS_TPU_PALLAS")
+    if use_pallas is None:
+        try:
+            import jax
+
+            use_pallas = jax.default_backend() not in ("cpu",)
+        except Exception:
+            use_pallas = False
+    else:
+        use_pallas = use_pallas not in ("0", "false", "no")
+    if use_pallas:
+        from atropos_tpu.align.pallas_kernel import PallasAligner
+
+        return PallasAligner(
+            adapter.sequence, adapter.max_error_rate, adapter.where, **kwargs
+        )
+    return BatchAligner(
+        adapter.sequence, adapter.max_error_rate, adapter.where, **kwargs
+    )
+
+
 def _bucket_batch(batch):
     size = 64
     while size < batch:
@@ -195,18 +227,7 @@ class _AdapterMatcher:
     def _get_aligner(self):
         key = "dp"
         if key not in self._aligners:
-            adapter = self.adapter
-            self._aligners[key] = BatchAligner(
-                adapter.sequence,
-                adapter.max_error_rate,
-                adapter.where,
-                wildcard_ref=adapter.adapter_wildcards,
-                wildcard_query=adapter.read_wildcards,
-                min_overlap=adapter.min_overlap,
-                indel_cost=(
-                    adapter.aligner.indel_cost if adapter.indels else 100000
-                ),
-            )
+            self._aligners[key] = make_batch_aligner(self.adapter)
         return self._aligners[key]
 
     def match_batch(self, read_objs, enc, lengths):

@@ -190,19 +190,10 @@ class TurboTrimRunner:
         self.nextseq = nextseq
         self.cutter = cutter
         self.adapters = cutter.adapters if cutter else []
+        from atropos_tpu.engine import make_batch_aligner
+
         self._aligners = [
-            BatchAligner(
-                adapter.sequence,
-                adapter.max_error_rate,
-                adapter.where,
-                wildcard_ref=adapter.adapter_wildcards,
-                wildcard_query=adapter.read_wildcards,
-                min_overlap=adapter.min_overlap,
-                indel_cost=(
-                    adapter.aligner.indel_cost if adapter.indels else 100000
-                ),
-            )
-            for adapter in self.adapters
+            make_batch_aligner(adapter) for adapter in self.adapters
         ]
 
     # -- main loop ----------------------------------------------------------

@@ -223,3 +223,13 @@ def splitext_compressed(name):
             break
     name, ext1 = os.path.splitext(name)
     return (name, ext1, ext2)
+
+
+def open_compressed_file(filename, mode):
+    """Open a compressed file, picking the decompressor from the file
+    extension (reference ``atropos/io/compression.py:243-258``)."""
+    opener = get_file_opener(filename)
+    if not opener:
+        raise ValueError("{} is not a recognized compression format".format(
+            filename))
+    return opener(filename, mode)

@@ -67,8 +67,9 @@ def create_progress_reader(
     reader, progress_type="msg", batch_size=1, max_items=None,
     counter_magnitude="M", **kwargs
 ):
-    """Wrap an iterable of batches in a progress reporter. Falls back to
-    message-based progress if bar libraries are unavailable."""
+    """Wrap an iterable of batches in a progress reporter. Bar mode tries
+    progressbar2, then tqdm, then returns the reader unwrapped with a
+    warning (reference ``atropos/io/progress.py:64-105``)."""
     mag_format = magnitude_formatter(counter_magnitude)
 
     if progress_type == "msg":
@@ -77,27 +78,83 @@ def create_progress_reader(
         )
 
     try:
-        from tqdm import tqdm
+        return create_progressbar_reader(reader, max_items, mag_format, **kwargs)
+    except Exception:
+        pass
 
-        class TqdmReader:
-            def __init__(self, iterable):
-                self._bar = tqdm(iterable)
-                self._iter = iter(self._bar)
+    try:
+        return create_tqdm_reader(reader, max_items, **kwargs)
+    except Exception:
+        pass
 
-            def __iter__(self):
-                return self
+    logging.getLogger().warning("No progress bar library available")
+    return reader
 
-            def __next__(self):
-                return next(self._iter)
 
-            def close(self):
-                self._bar.close()
+def create_progressbar_reader(reader, max_reads=None, mag_format=None):
+    """Wrap a batch iterable in a progressbar2 ProgressBar (reference
+    ``atropos/io/progress.py:118-184``)."""
+    import progressbar
+    import progressbar.widgets
 
-        return TqdmReader(reader)
-    except ImportError:
-        logging.getLogger().warning(
-            "No progress bar library available; falling back to messages"
+    class ProgressBarReader(progressbar.ProgressBar):
+        def __init__(self, iterable, widgets, max_value=None):
+            super().__init__(
+                widgets=widgets,
+                max_value=max_value or progressbar.UnknownLength,
+            )
+            self._iterable = iterable
+            self.done = False
+
+        def __next__(self):
+            try:
+                value = next(self._iterable)
+                if self.start_time is None:
+                    self.start()
+                self.update(self.value + value[0]["size"])
+                return value
+            except StopIteration:
+                self.close()
+                raise
+
+        def close(self):
+            if not self.done:
+                self.finish()
+                self.done = True
+            try:
+                self._iterable.close()
+            except Exception:
+                pass
+
+    class MagCounter(progressbar.widgets.WidgetBase):
+        def __init__(self, fmt):
+            super().__init__()
+            self._format = fmt
+
+        def __call__(self, progress, data):
+            return self._format(data["value"])
+
+    if max_reads:
+        return ProgressBarReader(
+            reader,
+            [
+                MagCounter(mag_format), " Reads (", progressbar.Percentage(),
+                ") ", progressbar.Timer(), " ", progressbar.Bar(),
+                progressbar.AdaptiveETA(),
+            ],
+            max_reads,
         )
-        return ProgressMessageReader(
-            reader, batch_size, max_items=max_items, mag_format=mag_format, **kwargs
-        )
+    return ProgressBarReader(
+        reader,
+        [
+            MagCounter(mag_format), " Reads", progressbar.Timer(),
+            progressbar.AnimatedMarker(),
+        ],
+    )
+
+
+def create_tqdm_reader(reader, max_reads=None):
+    """Wrap an iterable in a tqdm progress bar."""
+    import tqdm
+
+    return tqdm.tqdm(reader, total=max_reads)

@@ -878,6 +878,69 @@ class PairedEndFormatter(SingleEndFormatter):
 
 
 # --------------------------------------------------------------------------
+# SRA streaming (reference ``atropos/io/seqio.py:165-199,924-956``)
+# --------------------------------------------------------------------------
+
+
+class SraSequenceReader(SequenceReader):
+    """Wraps a streaming SRA reader: any iterable with a ``paired``
+    property yielding lists of (name, sequence, qualities) tuples."""
+
+    delivers_qualities = True
+    file_format = "fastq"
+
+    def __init__(self, reader, quality_base=None, sequence_class=Sequence,
+                 alphabet=None):
+        super().__init__(reader, quality_base=quality_base, alphabet=alphabet)
+        self.input_read = PAIRED if reader.paired else SINGLE
+        self.sequence_class = sequence_class
+
+    def __iter__(self):
+        if self.input_read == PAIRED:
+            for read in self._file:
+                yield tuple(self._as_sequence(frag) for frag in read[:2])
+        else:
+            for read in self._file:
+                yield self._as_sequence(read[0])
+
+    def _as_sequence(self, frag):
+        return self.sequence_class(*frag, alphabet=self.alphabet)
+
+    def close(self):
+        self._file.finish()
+
+
+class SraColorspaceSequenceReader(SraSequenceReader):
+    colorspace = True
+
+    def __init__(self, reader, quality_base=33, alphabet=None):
+        super().__init__(
+            reader, quality_base=quality_base,
+            sequence_class=ColorspaceSequence, alphabet=alphabet,
+        )
+
+
+def sra_reader(reader, quality_base=None, colorspace=False, input_read=None,
+               alphabet=None):
+    """Wrap an existing SRA streaming reader, optionally restricting a
+    paired stream to one mate."""
+    if colorspace:
+        wrapped = SraColorspaceSequenceReader(
+            reader, quality_base=quality_base, alphabet=alphabet
+        )
+    else:
+        wrapped = SraSequenceReader(
+            reader, quality_base=quality_base, alphabet=alphabet
+        )
+
+    if not reader.paired or input_read == PAIRED:
+        return wrapped
+    if input_read == READ1:
+        return paired_to_read1(wrapped)
+    return paired_to_read2(wrapped)
+
+
+# --------------------------------------------------------------------------
 # Factories
 # --------------------------------------------------------------------------
 

@@ -83,7 +83,9 @@ def _build_iso_nucleotide_table():
     return nuc
 
 
-BASE_COMPLEMENTS = _build_iso_nucleotide_table()
+build_iso_nucleotide_table = _build_iso_nucleotide_table
+
+BASE_COMPLEMENTS = build_iso_nucleotide_table()
 
 IUPAC_BASES = frozenset(("X",) + tuple(BASE_COMPLEMENTS.keys()))
 

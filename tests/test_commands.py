@@ -171,3 +171,67 @@ def test_detect_fasta_output(tmp_path):
     assert retcode == 0
     content = open(out).read()
     assert content.startswith(">")
+
+
+def test_template_report(tmp_path):
+    """A report-file extension without a builtin renderer resolves to a
+    Jinja2 template named template.<ext> on the search path."""
+    from atropos_tpu.commands import get_command
+
+    tpl_dir = tmp_path / "tpl"
+    tpl_dir.mkdir()
+    (tpl_dir / "template.mini").write_text(
+        "records={{ summary.total_record_count }}\n"
+    )
+    command = get_command("trim")
+    options = command.parse_args([
+        "-a", "TTAGACATATCTCCGTCG", "-se", datapath("small.fastq"),
+        "-o", str(tmp_path / "out.fq"), "--no-cache-adapters",
+        "--no-default-adapters", "--quiet",
+        "--report-file", str(tmp_path / "rep.mini"),
+    ])
+    retcode, summary = command.run_command(options)
+    assert retcode == 0
+    generator = command.get_report_generator_class()(options)
+    generator.report_args = tuple(
+        {"template_paths": [str(tpl_dir)]} for _ in generator.report_formats
+    )
+    generator.generate_reports(summary)
+    assert (tmp_path / "rep.mini").read_text().startswith("records=3")
+
+
+def test_template_report_missing_template(tmp_path):
+    from atropos_tpu.commands import get_command
+
+    command = get_command("trim")
+    options = command.parse_args([
+        "-a", "TTAGACATATCTCCGTCG", "-se", datapath("small.fastq"),
+        "-o", str(tmp_path / "out.fq"), "--no-cache-adapters",
+        "--no-default-adapters", "--quiet",
+        "--report-file", str(tmp_path / "rep.nosuch"),
+    ])
+    retcode, summary = command.run_command(options)
+    assert retcode == 0
+    with pytest.raises(IOError):
+        command.get_report_generator_class()(options).generate_reports(summary)
+
+
+def test_qc_parallel_matches_serial(tmp_path):
+    import re
+
+    command = get_command("qc")
+    out_s, out_p = str(tmp_path / "s.txt"), str(tmp_path / "p.txt")
+    assert command.execute(
+        ["-se", datapath("big.1.fq"), "-o", out_s, "--quiet"])[0] == 0
+    assert command.execute(
+        ["-se", datapath("big.1.fq"), "-o", out_p, "--quiet",
+         "--threads", "2"])[0] == 0
+
+    def stable(path):
+        skip = re.compile(
+            r"Command line|Start time|Wallclock|CPU time|threads|mode"
+        )
+        with open(path) as fh:
+            return [line for line in fh if not skip.search(line)]
+
+    assert stable(out_s) == stable(out_p)

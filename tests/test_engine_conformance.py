@@ -144,3 +144,14 @@ def test_engine_big_matches_scalar(tmp_path, monkeypatch):
         with open(engine_path) as fh:
             engine_data = fh.read()
         assert scalar_data == engine_data
+
+
+def test_engine_pallas_dispatch(tmp_path, monkeypatch):
+    """ATROPOS_TPU_PALLAS=1 routes engine matching through the Pallas
+    kernel (interpret mode on CPU); output must stay byte-identical."""
+    from atropos_tpu.align.pallas_kernel import PallasAligner
+
+    monkeypatch.setenv("ATROPOS_TPU_ENGINE", "1")
+    monkeypatch.setenv("ATROPOS_TPU_PALLAS", "1")
+    monkeypatch.setattr(PallasAligner, "INTERPRET", True)
+    run_trim(tmp_path, "-b TTAGACATATCTCCGTCG", "small.fastq", "small.fastq")

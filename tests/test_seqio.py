@@ -352,3 +352,57 @@ def test_truncated_gz_iter(tmp_path):
                 pass
         finally:
             handle.close()
+
+
+class _FakeSraStream:
+    """Minimal stand-in for a srastream.SraReader: iterable over lists of
+    (name, sequence, qualities) tuples with a ``paired`` property."""
+
+    def __init__(self, reads, paired):
+        self.reads = reads
+        self.paired = paired
+        self.finished = False
+
+    def __iter__(self):
+        return iter(self.reads)
+
+    def finish(self):
+        self.finished = True
+
+
+def test_sra_reader_single():
+    from atropos_tpu.io.seqio import sra_reader
+
+    stream = _FakeSraStream(
+        [[("r1", "ACGT", "IIII")], [("r2", "GGCC", "!!!!")]], paired=False
+    )
+    reader = sra_reader(stream)
+    reads = list(reader)
+    assert [r.name for r in reads] == ["r1", "r2"]
+    assert reads[0].sequence == "ACGT"
+    assert reads[1].qualities == "!!!!"
+    reader.close()
+    assert stream.finished
+
+
+def test_sra_reader_paired():
+    from atropos_tpu.io.seqio import PAIRED, sra_reader
+
+    stream = _FakeSraStream(
+        [[("r1", "ACGT", "IIII"), ("r1", "TTAA", "JJJJ")]], paired=True
+    )
+    reader = sra_reader(stream, input_read=PAIRED)
+    pairs = list(reader)
+    assert len(pairs) == 1
+    read1, read2 = pairs[0]
+    assert read1.sequence == "ACGT" and read2.sequence == "TTAA"
+
+
+def test_sra_reader_read2_only():
+    from atropos_tpu.io.seqio import READ2, sra_reader
+
+    stream = _FakeSraStream(
+        [[("r1", "ACGT", "IIII"), ("r1", "TTAA", "JJJJ")]], paired=True
+    )
+    reads = list(sra_reader(stream, input_read=READ2))
+    assert [r.sequence for r in reads] == ["TTAA"]
