@@ -152,6 +152,10 @@ class BaseCommandRunner:
         self.done = False
         self._empty_batch = [None] * self.size
         self._progress_options = None
+        # multi-host sharding (atropos_tpu.parallel.distributed): when
+        # shard_count > 1 this host only yields batches it owns
+        self.shard_rank = 0
+        self.shard_count = 1
 
         if getattr(options, "sra_reader", None):
             self.reader = reader = sra_reader(
@@ -230,6 +234,16 @@ class BaseCommandRunner:
         return self
 
     def __next__(self):
+        while True:
+            result = self._next_batch()
+            if (
+                self.shard_count <= 1
+                or (result[0]["index"] - 1) % self.shard_count
+                == self.shard_rank
+            ):
+                return result
+
+    def _next_batch(self):
         if self.done:
             raise StopIteration()
 

@@ -648,7 +648,28 @@ class CommandRunner(BaseCommandRunner):
                 if engine is not None:
                     logger.info("Using batched device engine for adapter matching")
 
+        # multi-host mode: the JAX distributed runtime is initialized ->
+        # shard batches round-robin across hosts, write per-host output
+        # shards, and merge summaries over the collective fabric (see
+        # ``atropos_tpu.parallel.distributed``)
+        from atropos_tpu.parallel.distributed import process_info
+
+        dist_rank, dist_procs = process_info()
+        if dist_procs > 1:
+            if options.threads is not None:
+                logger.warning(
+                    "Multi-host mode runs one pipeline per host; "
+                    "ignoring --threads"
+                )
+                options.threads = None
+            self.shard_rank = dist_rank
+            self.shard_count = dist_procs
+            writers.suffix = ".{}".format(dist_rank)
+            if dist_rank != 0:
+                options.report_file = None
+
         if options.threads is None:
+            retcode = None
             if engine_on:
                 # turbo path: streaming native-parse + device kernels +
                 # native format, for interval-expressible configurations
@@ -657,17 +678,41 @@ class CommandRunner(BaseCommandRunner):
 
                 turbo = TurboTrimRunner.build(self, record_handler, writers)
                 if turbo is not None:
-                    self.summary.update(mode="turbo", threads=1)
-                    return turbo.run()
-            # serial mode
-            result_handler = WorkerResultHandler(WriterResultHandler(writers))
-            if options.paired:
-                pipeline_class = PairedEndTrimPipeline
-            else:
-                pipeline_class = SingleEndTrimPipeline
-            pipeline = pipeline_class(record_handler, result_handler, engine=engine)
-            self.summary.update(mode="serial", threads=1)
-            return run_interruptible(pipeline, self, raise_on_error=True)
+                    self.summary.update(
+                        mode="turbo" if dist_procs == 1 else "distributed",
+                        threads=1,
+                    )
+                    retcode = turbo.run()
+            if retcode is None:
+                # serial mode
+                result_handler = WorkerResultHandler(
+                    WriterResultHandler(writers)
+                )
+                if options.paired:
+                    pipeline_class = PairedEndTrimPipeline
+                else:
+                    pipeline_class = SingleEndTrimPipeline
+                pipeline = pipeline_class(
+                    record_handler, result_handler, engine=engine
+                )
+                self.summary.update(
+                    mode="serial" if dist_procs == 1 else "distributed",
+                    threads=1,
+                )
+                retcode = run_interruptible(pipeline, self, raise_on_error=True)
+            if dist_procs > 1:
+                from atropos_tpu.parallel.distributed import (
+                    barrier,
+                    merge_summaries,
+                )
+
+                timing = self.summary.get("timing")
+                merged = merge_summaries(dict(self.summary))
+                self.summary.clear()
+                self.summary.update(merged)
+                self.summary["timing"] = timing
+                barrier("atropos-trim-finish")
+            return retcode
         else:
             # sharded parallel mode
             self.summary.update(mode="parallel", threads=options.threads)

@@ -205,6 +205,12 @@ class TurboTrimRunner:
 
         total_records = 0
         total_bp = 0
+        # multi-host sharding: chunk boundaries are deterministic (same
+        # file, same chunking), so round-robin chunk ownership partitions
+        # the records exactly once across hosts
+        shard_rank = getattr(self.command_runner, "shard_rank", 0)
+        shard_count = getattr(self.command_runner, "shard_count", 1)
+        chunk_index = 0
         with open(options.input1, "rb") as infile:
             carry = b""
             while True:
@@ -224,9 +230,11 @@ class TurboTrimRunner:
                     break
                 carry = buf[chunk.consumed :] if data else b""
                 if chunk.n:
-                    records, bp = self._process_chunk(chunk, out)
-                    total_records += records
-                    total_bp += bp
+                    if chunk_index % shard_count == shard_rank:
+                        records, bp = self._process_chunk(chunk, out)
+                        total_records += records
+                        total_bp += bp
+                    chunk_index += 1
                 if not data:
                     break
 

@@ -713,9 +713,16 @@ class SAMReader(SequenceReaderBase):
         return (self.name, None)
 
     def __iter__(self):
-        import pysam
+        try:
+            import pysam
 
-        return self._iter(pysam.AlignmentFile(self._file, **self.pysam_kwargs))
+            return self._iter(
+                pysam.AlignmentFile(self._file, **self.pysam_kwargs)
+            )
+        except ImportError:
+            # fall back to a text-SAM parser with a pysam-compatible
+            # record surface (BAM still requires pysam)
+            return self._iter(_TextSamFile(self._file))
 
     def _iter(self, sam):
         raise NotImplementedError()
@@ -738,6 +745,60 @@ class SAMReader(SequenceReaderBase):
             "".join(chr(33 + q) for q in read.query_qualities),
             alphabet=self.alphabet,
         )
+
+
+class _TextSamRecord:
+    """pysam.AlignedSegment work-alike over one text SAM line."""
+
+    __slots__ = ("query_name", "flag", "query_sequence", "query_qualities")
+
+    def __init__(self, fields):
+        self.query_name = fields[0]
+        self.flag = int(fields[1])
+        seq = fields[9]
+        self.query_sequence = None if seq == "*" else seq
+        qual = fields[10]
+        if qual == "*":
+            self.query_qualities = None
+        else:
+            self.query_qualities = [ord(ch) - 33 for ch in qual]
+
+    @property
+    def is_read1(self):
+        return bool(self.flag & 0x40)
+
+    @property
+    def is_read2(self):
+        return bool(self.flag & 0x80)
+
+
+class _TextSamFile:
+    """Text-only SAM iterator used when pysam is unavailable. Yields every
+    alignment record (like pysam's default iteration); rejects BAM."""
+
+    def __init__(self, fileobj):
+        self._file = fileobj
+
+    def __iter__(self):
+        first = True
+        for line in self._file:
+            if isinstance(line, bytes):
+                if first and line[:2] == b"\x1f\x8b" or line[:4] == b"BAM\x01":
+                    raise ImportError(
+                        "Reading BAM files requires the pysam library"
+                    )
+                line = line.decode("ascii")
+            first = False
+            if not line or line.startswith("@"):
+                continue
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) < 11:
+                raise FormatError(
+                    "SAM line has {} fields; expected at least 11".format(
+                        len(fields)
+                    )
+                )
+            yield _TextSamRecord(fields)
 
 
 class SingleEndSAMReader(SAMReader):

@@ -406,3 +406,59 @@ def test_sra_reader_read2_only():
     )
     reads = list(sra_reader(stream, input_read=READ2))
     assert [r.sequence for r in reads] == ["TTAA"]
+
+
+def _write_sam(path, fastq_path, flags=None):
+    with open(fastq_path) as fh:
+        lines = [line.rstrip("\n") for line in fh]
+    with open(path, "w") as out:
+        out.write("@HD\tVN:1.6\tSO:queryname\n")
+        for rec, i in enumerate(range(0, len(lines), 4)):
+            name = lines[i][1:].split()[0]
+            flag = flags[rec] if flags else 4
+            out.write("\t".join([
+                name, str(flag), "*", "0", "0", "*", "*", "0", "0",
+                lines[i + 1], lines[i + 3],
+            ]) + "\n")
+
+
+def test_text_sam_reader_single(tmp_path):
+    """SAM input parses without pysam via the text fallback."""
+    from .conformance_utils import datapath
+    from atropos_tpu.io.seqio import open_reader
+
+    sam = str(tmp_path / "in.sam")
+    _write_sam(sam, datapath("small.fastq"))
+    reader = open_reader(sam, file_format="sam")
+    reads = list(reader)
+    assert len(reads) == 3
+    assert reads[0].name.startswith("prefix:1_13_573")
+    assert reads[0].qualities is not None
+
+
+def test_text_sam_reader_paired(tmp_path):
+    from .conformance_utils import datapath
+    from atropos_tpu.io.seqio import open_reader
+
+    with open(datapath("paired.1.fastq")) as fh:
+        n_reads = sum(1 for _ in fh) // 4
+    sam = str(tmp_path / "pe.sam")
+    with open(datapath("paired.1.fastq")) as fh1, open(
+        datapath("paired.2.fastq")
+    ) as fh2:
+        lines1 = [line.rstrip("\n") for line in fh1]
+        lines2 = [line.rstrip("\n") for line in fh2]
+    with open(sam, "w") as out:
+        out.write("@HD\tVN:1.6\tSO:queryname\n")
+        for i in range(0, len(lines1), 4):
+            name = lines1[i][1:].split()[0].rstrip("/12")
+            out.write("\t".join([name, str(0x1 | 0x40), "*", "0", "0",
+                                 "*", "*", "0", "0", lines1[i+1], lines1[i+3]]) + "\n")
+            out.write("\t".join([name, str(0x1 | 0x80), "*", "0", "0",
+                                 "*", "*", "0", "0", lines2[i+1], lines2[i+3]]) + "\n")
+    reader = open_reader(sam, file_format="sam", interleaved=True)
+    pairs = list(reader)
+    assert len(pairs) == n_reads
+    read1, read2 = pairs[0]
+    assert read1.sequence == lines1[1]
+    assert read2.sequence == lines2[1]
