@@ -42,6 +42,13 @@ from atropos_tpu.align.flags import (
 
 NEG_LARGE = -(2 ** 30)
 
+# column-loop unroll factor (env-tunable for experiments). Measured on
+# v5e: unroll>1 regresses badly (bigger program, worse scheduling), so
+# the default stays 1.
+import os as _os
+
+UNROLL = int(_os.environ.get("ATROPOS_TPU_PALLAS_UNROLL", "1"))
+
 
 def _pow2(x):
     p = 1
@@ -129,11 +136,23 @@ def _dp_kernel(
     for r, tval in enumerate(thresholds):
         thresh_col = jnp.where(iota_m1 == r, int(tval), thresh_col)
 
+    # Insertion-chain scan distance bound: a chain of t insertions adds
+    # t*ins_cost to a non-decreasing path cost, and every observable
+    # result (band membership, candidate selection, early exit) only
+    # inspects cells with cost <= k, so contributions from more than
+    # floor(k/ins_cost) rows above can never surface — truncating the
+    # Kogge-Stone to that window is bit-exact (values it leaves higher
+    # stay > k, and > k cells only produce > k descendants). For the
+    # common TruSeq case (m=33, k=3, ins_cost=1) this is 2 combine steps
+    # instead of 6.
+    d_max = 0 if shift_unit > k else min(M1 - 1, k // shift_unit)
     steps = []
     s = 1
-    while s < M1:
+    while (s << 1) - 1 <= d_max:  # after steps 1..s, covered distance 2s-1
         steps.append(s)
         s *= 2
+    if (1 << len(steps)) - 1 < d_max:
+        steps.append(s)
 
     def column(j, carry):
         cost_c, pay_c, last, best, done = carry
@@ -250,7 +269,8 @@ def _dp_kernel(
         return (cost_c, pay_c, last, best, done)
 
     cost_c, pay_c, last, best, done = lax.fori_loop(
-        1, L + 1, column, (cost0, pay0, last0, best0, done0)
+        1, L + 1, column, (cost0, pay0, last0, best0, done0),
+        unroll=UNROLL,
     )
     b_ref_stop, b_query_stop, b_cost, b_origin, b_matches = best
 
@@ -317,7 +337,7 @@ class PallasAligner:
     equality vs IUPAC bitwise-AND — is a static kernel parameter exactly
     as in the scalar kernel)."""
 
-    BLOCK = 1024
+    BLOCK = int(_os.environ.get("ATROPOS_TPU_PALLAS_BLOCK", "1024"))
     INTERPRET = False  # set True for CPU interpret-mode testing
 
     def __init__(
