@@ -131,10 +131,20 @@ def _dp_kernel(
     ref_col = jnp.zeros((m, 1), jnp.int32)
     for r, byte in enumerate(ref_bytes):
         ref_col = jnp.where(iota_m == r, int(byte), ref_col)
-    iota_m1 = lax.broadcasted_iota(jnp.int32, (M1, 1), 0)
-    thresh_col = jnp.zeros((M1, 1), jnp.int32)
-    for r, tval in enumerate(thresholds):
-        thresh_col = jnp.where(iota_m1 == r, int(tval), thresh_col)
+    # thresholds[len] = floor(err*len) is a monotone step function with at
+    # most k steps; represent it as its step boundaries so a lookup is k
+    # adds of (len >= boundary) instead of an m+1-way one-hot select
+    t_arrv = list(thresholds)
+    boundaries = [
+        idx for idx in range(1, M1) if t_arrv[idx] > t_arrv[idx - 1]
+    ]
+
+    def thresh_of(length):
+        out = jnp.full(length.shape, int(t_arrv[0]), jnp.int32)
+        for b_idx in boundaries:
+            step = int(t_arrv[b_idx] - t_arrv[b_idx - 1])
+            out = out + (length >= b_idx).astype(jnp.int32) * step
+        return out
 
     # Insertion-chain scan distance bound: a chain of t insertions adds
     # t*ins_cost to a non-decreasing path cost, and every observable
@@ -244,11 +254,7 @@ def _dp_kernel(
             mat_m = pay_c[m : m + 1, :] % PAY_BASE
             length_m = m + jnp.minimum(org_m, 0)
             cost_m = cost_c[m : m + 1, :]
-            thresh_m = jnp.max(
-                jnp.where(rows == length_m, thresh_col, NEG_LARGE),
-                axis=0,
-                keepdims=True,
-            )
+            thresh_m = thresh_of(length_m)
             ok = (
                 at_bottom
                 & (length_m >= min_overlap)
@@ -281,11 +287,9 @@ def _dp_kernel(
     first_i = 0 if stop_in_ref else m
     lengths_i = rows + jnp.minimum(org_c, 0)
     lt = jnp.clip(lengths_i, 0, m)
-    # per-cell threshold lookup, unrolled one-hot select over the m+1
-    # possible lengths (no gathers inside the kernel)
-    thresh_cells = jnp.zeros((M1, B), jnp.int32)
-    for r in range(M1):
-        thresh_cells = jnp.where(lt == r, int(thresholds[r]), thresh_cells)
+    # per-cell threshold lookup via the step-boundary form (k adds
+    # instead of an m+1-way one-hot select; no gathers inside the kernel)
+    thresh_cells = thresh_of(lt)
 
     valid = (
         (rows >= first_i)
