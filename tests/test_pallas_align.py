@@ -92,6 +92,38 @@ def test_pallas_parity_wildcards(name, flags):
     )
 
 
+@pytest.mark.parametrize("max_error_rate", [0.0, 0.049, 0.2, 0.34])
+@pytest.mark.parametrize("indel_cost", [1, 2, 3])
+def test_pallas_scan_window_edges(max_error_rate, indel_cost):
+    """The insertion scan is truncated to distance floor(k/ins_cost); pin
+    bit-exactness at the window boundaries with reads whose adapter hit
+    carries insertion runs of exactly k, k+1 and 2k bases (chains at and
+    just past the provable out-of-band cutoff)."""
+    adapter = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"  # m=33 -> k up to 11
+    k = int(max_error_rate * len(adapter))
+    rng = random.Random(hash((max_error_rate, indel_cost)) & 0xFFFF)
+    reads = []
+    for run in {max(1, k), k + 1, 2 * k + 1}:
+        for cut in (8, 16, len(adapter)):
+            frag = adapter[:cut]
+            pos = rng.randint(2, max(3, cut - 2))
+            ins = "".join(rng.choice("ACGT") for _ in range(run))
+            prefix = "".join(rng.choice("ACGT") for _ in range(20))
+            reads.append(prefix + frag[:pos] + ins + frag[pos:])
+    reads += [_random_read(rng, adapter, FLAG_CASES[0][1]) for _ in range(30)]
+    _assert_parity(
+        dict(
+            reference=adapter,
+            max_error_rate=max_error_rate,
+            flags=FLAG_CASES[0][1],
+            min_overlap=3,
+            indel_cost=indel_cost,
+        ),
+        reads,
+        "pallas-window/e{}/ic{}".format(max_error_rate, indel_cost),
+    )
+
+
 def test_pallas_literal_n():
     """ASCII mode must treat 'N'=='N' as a match (exact byte compare)."""
     _assert_parity(
