@@ -47,7 +47,29 @@ NEG_LARGE = -(2 ** 30)
 # the default stays 1.
 import os as _os
 
-UNROLL = int(_os.environ.get("ATROPOS_TPU_PALLAS_UNROLL", "1"))
+
+def _env_int(name, default, validate=None):
+    """Read an int tunable from the environment at import time; fall back
+    to (and warn about) the default on unparsable or invalid values rather
+    than crashing the import."""
+    raw = _os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        value = int(raw)
+    except ValueError:
+        value = None
+    if value is None or (validate is not None and not validate(value)):
+        import warnings
+
+        warnings.warn(
+            "%s=%r is invalid; using default %d" % (name, raw, default)
+        )
+        return default
+    return value
+
+
+UNROLL = _env_int("ATROPOS_TPU_PALLAS_UNROLL", 1, lambda v: v >= 1)
 
 
 def _pow2(x):
@@ -252,7 +274,10 @@ def _dp_kernel(
             at_bottom = active & (L_idx == m)
             org_m = pay_c[m : m + 1, :] // PAY_BASE - m
             mat_m = pay_c[m : m + 1, :] % PAY_BASE
-            length_m = m + jnp.minimum(org_m, 0)
+            # clip like the final-column path: the PAY_BASE packing keeps
+            # origin >= -m, but an out-of-range payload must reject (the
+            # boundary form of thresh_of would otherwise extrapolate)
+            length_m = jnp.clip(m + jnp.minimum(org_m, 0), 0, m)
             cost_m = cost_c[m : m + 1, :]
             thresh_m = thresh_of(length_m)
             ok = (
@@ -341,7 +366,11 @@ class PallasAligner:
     equality vs IUPAC bitwise-AND — is a static kernel parameter exactly
     as in the scalar kernel)."""
 
-    BLOCK = int(_os.environ.get("ATROPOS_TPU_PALLAS_BLOCK", "1024"))
+    # batch tile width; must stay a positive multiple of the 128-lane TPU
+    # tile or Mosaic rejects the layout at compile time
+    BLOCK = _env_int(
+        "ATROPOS_TPU_PALLAS_BLOCK", 1024, lambda v: v > 0 and v % 128 == 0
+    )
     INTERPRET = False  # set True for CPU interpret-mode testing
 
     def __init__(

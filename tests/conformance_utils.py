@@ -57,6 +57,7 @@ def run_trim(
     interleaved_output=False,
     aligner=None,
     assert_files=True,
+    sra_accn=None,
 ):
     """Execute the trim command in-process; compare against the golden file.
 
@@ -70,7 +71,9 @@ def run_trim(
     if isinstance(params, str):
         params = params.split()
     tmp_fastaq = str(tmp_path / expected)
-    if interleaved_input:
+    if sra_accn:
+        params += ["-sra", sra_accn]
+    elif interleaved_input:
         params += ["-l", datapath(inpath)]
     elif inpath2:
         params += ["-pe1", datapath(inpath)]

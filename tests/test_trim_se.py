@@ -580,3 +580,53 @@ def test_two_fastqs_errors():
         get_command("trim").execute(
             ["-pe1", datapath("paired.1.fastq"), "-pe2", datapath("paired.2.fastq")]
         )
+
+
+def test_qualfile_only():
+    """A .qual file without its FASTA mate is a usage error
+    (reference ``tests/test_atropos.py:445``)."""
+    with pytest.raises(SystemExit):
+        get_command("trim").execute(["-sq", datapath("E3M.qual")])
+
+
+def test_quiet_is_quiet(tmp_path):
+    """--quiet must print nothing to stdout or stderr
+    (reference ``tests/test_atropos.py:601``)."""
+    import io
+    import sys
+
+    captured_out = io.StringIO()
+    captured_err = io.StringIO()
+    old_stdout, old_stderr = sys.stdout, sys.stderr
+    sys.stdout, sys.stderr = captured_out, captured_err
+    try:
+        execute_cli(
+            [
+                "-o", "/dev/null", "--quiet", "-a", "XXXX",
+                "-se", datapath("illumina.fastq.gz"),
+                "--adapter-cache-file", str(tmp_path / ".adapters"),
+                "--report-file", str(tmp_path / "report.txt"),
+            ]
+        )
+    finally:
+        sys.stdout, sys.stderr = old_stdout, old_stderr
+    assert captured_out.getvalue() == ""
+    assert captured_err.getvalue() == ""
+
+
+def test_sra(tmp_path):
+    """Stream reads straight from an SRA accession
+    (reference ``tests/test_atropos.py:680``). Needs srastream + network."""
+    pytest.importorskip("srastream")
+    import socket
+
+    try:
+        socket.create_connection(("www.ncbi.nlm.nih.gov", 443), timeout=5).close()
+    except OSError:
+        pytest.skip("no network access")
+    run_trim(
+        tmp_path,
+        "-b CTGGAGTTCAGACGTGTGCTCT --max-reads 100",
+        "SRR2040662_trimmed.fq",
+        sra_accn="SRR2040662",
+    )
