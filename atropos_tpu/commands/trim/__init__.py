@@ -647,6 +647,13 @@ class CommandRunner(BaseCommandRunner):
                 engine = TrimEngine.build(modifiers, options)
                 if engine is not None:
                     logger.info("Using batched device engine for adapter matching")
+                else:
+                    from atropos_tpu import engine as engine_mod
+
+                    logger.info(
+                        "Scalar pipeline (engine ineligible: %s)",
+                        engine_mod.LAST_FALLBACK_REASON,
+                    )
 
         # multi-host mode: the JAX distributed runtime is initialized ->
         # shard batches round-robin across hosts, write per-host output

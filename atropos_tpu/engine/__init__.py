@@ -41,22 +41,26 @@ from atropos_tpu.commands.trim.modifiers import (
 from atropos_tpu.util import reverse_complement
 
 
-def engine_enabled():
-    """Whether the device engine should be used.
+#: build-dispatch telemetry: how many times TrimEngine.build produced an
+#: engine vs fell back to the scalar pipeline, and why the last fallback
+#: happened. The conformance suite uses this to *prove* which golden cases
+#: run batched rather than silently degrading.
+BUILD_COUNTS = {"engine": 0, "fallback": 0}
+LAST_FALLBACK_REASON = None
 
-    ``ATROPOS_TPU_ENGINE=1`` forces on, ``=0`` forces off; by default the
-    engine activates when an accelerator backend is available (on pure-CPU
-    runs the scalar pipeline is typically faster for small batches).
+
+def engine_enabled():
+    """Whether the batched device engine should be used.
+
+    The engine is the default path everywhere (its outputs are proven
+    byte-identical to the scalar pipeline by the full golden suite);
+    ``ATROPOS_TPU_ENGINE=0`` forces the scalar pipeline, ``=1`` forces the
+    engine explicitly.
     """
     value = os.environ.get("ATROPOS_TPU_ENGINE")
     if value is not None:
         return value not in ("0", "false", "no")
-    try:
-        import jax
-
-        return jax.default_backend() not in ("cpu",)
-    except Exception:
-        return False
+    return True
 
 
 def make_batch_aligner(adapter):
@@ -343,17 +347,26 @@ class TrimEngine:
     @classmethod
     def build(cls, modifiers, options):
         """Return a TrimEngine if this configuration is eligible, else
-        None (pipeline then runs fully scalar)."""
+        None (pipeline then runs fully scalar). Every outcome is counted
+        in :data:`BUILD_COUNTS`; fallbacks record their reason."""
+        reason = None
         if options.colorspace:
-            return None
-        if modifiers.has_modifier(AdapterCutter):
+            reason = "colorspace"
+        elif modifiers.has_modifier(AdapterCutter):
             if len(modifiers.modifier_indexes[AdapterCutter]) != 1:
-                return None
+                reason = "multiple AdapterCutter stages"
         elif modifiers.has_modifier(InsertAdapterCutter):
             if len(modifiers.modifier_indexes[InsertAdapterCutter]) != 1:
-                return None
+                reason = "multiple InsertAdapterCutter stages"
         else:
+            reason = "no adapter cutter stage"
+        global LAST_FALLBACK_REASON
+        if reason is not None:
+            BUILD_COUNTS["fallback"] += 1
+            LAST_FALLBACK_REASON = reason
             return None
+        BUILD_COUNTS["engine"] += 1
+        LAST_FALLBACK_REASON = None
         return cls(modifiers, options.paired)
 
     def _insert_candidates(self, staged):

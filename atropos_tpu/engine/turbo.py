@@ -239,13 +239,24 @@ class TurboTrimRunner:
                     break
 
         summary = self.command_runner.summary
-        summary.update(
-            record_counts={0: total_records},
-            total_record_count=total_records,
-            bp_counts={0: [total_bp, 0]},
-            total_bp_counts=(total_bp, 0),
-            sum_total_bp_count=total_bp,
-        )
+        if total_records:
+            summary.update(
+                record_counts={0: total_records},
+                total_record_count=total_records,
+                bp_counts={0: [total_bp, 0]},
+                total_bp_counts=(total_bp, 0),
+                sum_total_bp_count=total_bp,
+            )
+        else:
+            # empty input: match the scalar batcher, which never emits a
+            # batch and leaves the count structures empty
+            summary.update(
+                record_counts={},
+                total_record_count=0,
+                bp_counts={},
+                total_bp_counts=(),
+                sum_total_bp_count=0,
+            )
         summary.update(self.record_handler.summarize())
         self.writers.close()
         return 0

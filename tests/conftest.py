@@ -24,3 +24,36 @@ if not os.environ.get("ATROPOS_TPU_TEST_REAL_DEVICE"):
         jax.config.update("jax_platforms", "cpu")
     except ImportError:
         pass
+
+import pytest
+
+# Golden-suite modules that run byte-exactness cases through the full trim
+# command: every case runs twice, once with the scalar pipeline forced and
+# once with the batched device engine forced, so engine conformance is
+# proven on the ENTIRE behavioral surface (not a sampled subset).
+_ENGINE_PARAMETRIZED_MODULES = ("test_trim_se", "test_trim_pe")
+
+
+def pytest_generate_tests(metafunc):
+    module = metafunc.module.__name__.rsplit(".", 1)[-1]
+    if (
+        module in _ENGINE_PARAMETRIZED_MODULES
+        and "engine_mode" in metafunc.fixturenames
+    ):
+        metafunc.parametrize(
+            "engine_mode", ["scalar", "engine"], indirect=True
+        )
+
+
+@pytest.fixture(autouse=True)
+def engine_mode(request, monkeypatch):
+    """Force the trim pipeline mode for parametrized golden tests.
+
+    Unparametrized tests leave the environment alone (engine defaults on).
+    """
+    mode = getattr(request, "param", None)
+    if mode == "scalar":
+        monkeypatch.setenv("ATROPOS_TPU_ENGINE", "0")
+    elif mode == "engine":
+        monkeypatch.setenv("ATROPOS_TPU_ENGINE", "1")
+    return mode
