@@ -1,8 +1,11 @@
-"""Transparent file opening helpers (compressed files, stdout/stderr).
+"""Path checking and transparent file opening.
 
-Parity with the reference ``atropos/io/__init__.py``: ``-`` means stdout,
-``_`` means stderr, and extensions select a (de)compressor.
+The special names ``-`` and ``_`` stand for stdout and stderr (stdin when
+reading), matching the reference CLI conventions
+(``atropos/io/__init__.py:9-10,128-173``). Compressed files are opened
+through the codec registry in :mod:`atropos_tpu.io.compression`.
 """
+import contextlib
 import errno
 import os
 import sys
@@ -18,20 +21,22 @@ def abspath(path):
 
 
 def resolve_path(path, parent=None):
-    apath = abspath(path)
-    if not os.path.exists(apath) and parent is not None:
-        apath = abspath(os.path.join(parent, path))
-    if not os.path.exists(apath):
-        raise IOError(errno.ENOENT, "%s does not exist" % apath, apath)
-    return apath
+    """Absolute path of ``path``, trying ``parent`` as a base if needed."""
+    resolved = abspath(path)
+    if not os.path.exists(resolved) and parent is not None:
+        resolved = abspath(os.path.join(parent, path))
+    if not os.path.exists(resolved):
+        raise IOError(errno.ENOENT, "%s does not exist" % resolved, resolved)
+    return resolved
 
 
 def check_path(path, ptype=None, access=None):
-    if ptype == "f" and not path.startswith("/dev/") and not os.path.isfile(path):
+    """Validate that ``path`` is the right kind of entry and accessible."""
+    if ptype == "f" and not (path.startswith("/dev/") or os.path.isfile(path)):
         raise IOError(errno.EISDIR, "{} is not a file".format(path), path)
-    elif ptype == "d" and not os.path.isdir(path):
+    if ptype == "d" and not os.path.isdir(path):
         raise IOError(errno.ENOTDIR, "{} is not a directory".format(path), path)
-    elif not os.path.exists(path):
+    if not os.path.exists(path):
         raise IOError(errno.ENOENT, "{} does not exist".format(path), path)
     if access is not None and not os.access(path, access):
         raise IOError(errno.EACCES, "{} is not accessable".format(path), path)
@@ -39,80 +44,67 @@ def check_path(path, ptype=None, access=None):
 
 
 def check_writeable(rawpath, ptype=None):
+    """Validate that ``rawpath`` can be written, creating parent dirs."""
     if rawpath in (STDOUT, STDERR):
         return rawpath
     rawpath = abspath(rawpath)
     try:
-        path = resolve_path(rawpath)
-        check_path(path, ptype, os.W_OK)
+        return check_path(resolve_path(rawpath), ptype, os.W_OK)
     except IOError:
-        dirpath = os.path.dirname(rawpath)
-        if os.path.exists(dirpath):
-            check_path(dirpath, "d", os.W_OK)
+        parent = os.path.dirname(rawpath)
+        if os.path.exists(parent):
+            check_path(parent, "d", os.W_OK)
         else:
-            os.makedirs(dirpath)
-        path = os.path.join(dirpath, os.path.basename(rawpath))
-    return path
+            os.makedirs(parent)
+        return os.path.join(parent, os.path.basename(rawpath))
+
+
+_TEXT_DEFAULT = {"r": "rt", "w": "wt", "a": "at"}
+
+
+def _normalize_mode(mode, allowed):
+    mode = _TEXT_DEFAULT.get(mode, mode)
+    if mode not in allowed:
+        raise ValueError("mode '{0}' not supported".format(mode))
+    return mode
+
+
+def _stdio_stream(filename, mode):
+    """The standard stream a special filename maps to, matching binarity."""
+    if "r" in mode:
+        stream = sys.stdin
+    elif filename == STDERR:
+        stream = sys.stderr
+    else:
+        stream = sys.stdout
+    return stream.buffer if "b" in mode else stream
 
 
 def open_output(filename, mode="w", context_wrapper=False):
-    """Open a file for (text or binary) writing; '-'/'_' = stdout/stderr."""
-    if mode == "w":
-        mode = "wt"
-    elif mode == "a":
-        mode = "at"
-    if mode not in ("wt", "wb", "at", "ab"):
-        raise ValueError("mode '{0}' not supported".format(mode))
+    """Open a file for writing/appending; '-'/'_' map to stdout/stderr.
+
+    With ``context_wrapper``, standard streams come wrapped so that
+    ``with`` blocks don't close them.
+    """
+    mode = _normalize_mode(mode, ("wt", "wb", "at", "ab"))
     if not isinstance(filename, str):
         raise ValueError("the filename must be a string")
-
     if filename in (STDOUT, STDERR):
-        fileobj = sys.stdout if filename == STDOUT else sys.stderr
-        if mode == "wb":
-            fileobj = fileobj.buffer
+        stream = _stdio_stream(filename, mode)
         if context_wrapper:
-
-            class StdWrapper:
-                def __init__(self, fileobj):
-                    self.fileobj = fileobj
-
-                def __enter__(self):
-                    return self.fileobj
-
-                def __exit__(self, exception_type, exception_value, traceback):
-                    pass
-
-            fileobj = StdWrapper(fileobj)
-    else:
-        filename = check_writeable(filename, "f")
-        fileobj = open(filename, mode)
-
-    return fileobj
+            return contextlib.nullcontext(stream)
+        return stream
+    return open(check_writeable(filename, "f"), mode)
 
 
 def xopen(filename, mode="r", use_system=True):
-    """Open a possibly-compressed file; '-'/'_' = stdio."""
-    if mode == "r":
-        mode = "rt"
-    elif mode == "w":
-        mode = "wt"
-    elif mode == "a":
-        mode = "at"
-    if mode not in ("rt", "rb", "wt", "wb", "at", "ab"):
-        raise ValueError("mode '{0}' not supported".format(mode))
+    """Open a possibly-compressed file; '-'/'_' map to standard streams."""
+    mode = _normalize_mode(mode, ("rt", "rb", "wt", "wb", "at", "ab"))
     if not isinstance(filename, str):
         raise ValueError("the filename must be a string")
-
     if filename in (STDOUT, STDERR):
-        if "r" in mode:
-            fileobj = sys.stdin
-        else:
-            fileobj = sys.stdout if filename == STDOUT else sys.stderr
-        if "b" in mode:
-            fileobj = fileobj.buffer
-        return fileobj
-
-    file_opener = get_file_opener(filename)
-    if file_opener:
-        return file_opener(filename, mode, use_system=use_system)
+        return _stdio_stream(filename, mode)
+    opener = get_file_opener(filename)
+    if opener is not None:
+        return opener(filename, mode, use_system=use_system)
     return open(filename, mode)

@@ -1,56 +1,66 @@
-"""Transparent compression support (.gz/.bz2/.xz).
+"""Compressed-file codecs (.gz/.bz2/.xz).
 
-Mirrors the reference's behavior (``atropos/io/compression.py``): prefer the
-system ``gzip`` program via a pipe for throughput (decompression in a
-separate process overlaps with parsing), falling back to the Python
-libraries.
+Gzip throughput matters more than any other codec here: FASTQ inputs are
+almost always gzipped, and Python's zlib binding runs decompression on
+the GIL-holding thread. When a system ``gzip`` binary exists we pipe
+through it instead, so (de)compression runs in its own process and
+overlaps with parsing — the same trick the reference uses
+(``atropos/io/compression.py:17-135``).
 """
 import bz2
 import gzip
 import io
 import lzma
 import os
-from subprocess import PIPE, Popen
-
-COMPRESSORS = {
-    ".gz": gzip,
-    ".bz2": bz2,
-    ".xz": lzma,
-}
+import shutil
+from dataclasses import dataclass
+from subprocess import DEVNULL, PIPE, Popen
 
 
-class GzipWriter:
-    """Pipe bytes through the system gzip program to a file."""
+def get_program_path(program):
+    """Locate an executable on $PATH (cached)."""
+    try:
+        return _PROGRAM_PATHS[program]
+    except KeyError:
+        found = shutil.which(program)
+        _PROGRAM_PATHS[program] = found
+        return found
+
+
+_PROGRAM_PATHS = {}
+
+
+class PipedGzipWriter:
+    """File-like object compressing through an external gzip process.
+
+    Deliberately not an io.IOBase subclass: IOBase owns ``closed`` as a
+    read-only property and calls close() from __del__, which interacts
+    badly with the child process teardown order.
+    """
+
+    readable = seekable = staticmethod(lambda: False)
 
     def __init__(self, path, mode="w"):
         self.name = path
         self.outfile = open(path, mode)
-        self.devnull = open(os.devnull, "w")
         self.closed = False
         try:
             self.process = Popen(
                 [get_program_path("gzip")],
                 stdin=PIPE,
                 stdout=self.outfile,
-                stderr=self.devnull,
+                stderr=DEVNULL,
                 close_fds=True,
             )
         except IOError:
             self.outfile.close()
-            self.devnull.close()
             raise
-
-    def readable(self):
-        return False
 
     def writable(self):
         return True
 
-    def seekable(self):
-        return False
-
-    def write(self, arg):
-        self.process.stdin.write(arg)
+    def write(self, data):
+        self.process.stdin.write(data)
 
     def flush(self):
         self.process.stdin.flush()
@@ -58,12 +68,11 @@ class GzipWriter:
     def close(self):
         self.closed = True
         self.process.stdin.close()
-        retcode = self.process.wait()
+        status = self.process.wait()
         self.outfile.close()
-        self.devnull.close()
-        if retcode != 0:
+        if status != 0:
             raise IOError(
-                "Output gzip process terminated with exit code {0}".format(retcode)
+                "Output gzip process terminated with exit code {0}".format(status)
             )
 
     def __enter__(self):
@@ -73,8 +82,10 @@ class GzipWriter:
         self.close()
 
 
-class GzipReader:
-    """Read decompressed bytes from the system gzip program."""
+class PipedGzipReader:
+    """File-like object decompressing through an external gzip process."""
+
+    writable = seekable = staticmethod(lambda: False)
 
     def __init__(self, path):
         self.name = path
@@ -84,44 +95,37 @@ class GzipReader:
     def readable(self):
         return True
 
-    def writable(self):
-        return False
-
-    def seekable(self):
-        return False
-
     def flush(self):
         pass
+
+    def read(self, *args):
+        data = self.process.stdout.read(*args)
+        if not args or args[0] <= 0:
+            # whole-file read: the process must be done for error checking
+            self.process.wait()
+        self._check_status()
+        return data
+
+    def __iter__(self):
+        yield from self.process.stdout
+        self.process.wait()
+        self._check_status()
 
     def close(self):
         if self.closed:
             return
         self.closed = True
-        retcode = self.process.poll()
-        if retcode is None:
+        if self.process.poll() is None:
             self.process.terminate()
-        self._raise_if_error()
+        self._check_status()
 
-    def __iter__(self):
-        for line in self.process.stdout:
-            yield line
-        self.process.wait()
-        self._raise_if_error()
-
-    def _raise_if_error(self):
-        retcode = self.process.poll()
-        if retcode is not None and retcode != 0:
+    def _check_status(self):
+        status = self.process.poll()
+        if status:  # None (still running) and 0 are both fine
             raise EOFError(
                 "gzip process returned non-zero exit code {0}. Is the "
-                "input file truncated or corrupt?".format(retcode)
+                "input file truncated or corrupt?".format(status)
             )
-
-    def read(self, *args):
-        data = self.process.stdout.read(*args)
-        if len(args) == 0 or args[0] <= 0:
-            self.process.wait()
-        self._raise_if_error()
-        return data
 
     def __enter__(self):
         return self
@@ -130,106 +134,91 @@ class GzipReader:
         self.close()
 
 
-def can_use_system_compression():
-    return get_program_path("gzip") is not None
-
-
-def get_compressor(filename):
-    ext = os.path.splitext(filename)[1]
-    return COMPRESSORS.get(ext)
-
-
-def open_gzip_file(filename, mode, use_system=True):
-    if use_system:
+def _open_gzip(filename, mode, use_system=True):
+    if use_system and get_program_path("gzip"):
         try:
             if "r" in mode:
-                gzfile = GzipReader(filename)
+                stream = PipedGzipReader(filename)
             else:
-                gzfile = GzipWriter(filename)
-            if "t" in mode:
-                gzfile = io.TextIOWrapper(gzfile)
-            return gzfile
+                stream = PipedGzipWriter(filename)
+            return io.TextIOWrapper(stream) if "t" in mode else stream
         except Exception:
-            pass
-
-    gzfile = gzip.open(filename, mode)
+            pass  # fall through to the library implementation
+    stream = gzip.open(filename, mode)
     if "b" in mode:
-        if "r" in mode:
-            gzfile = io.BufferedReader(gzfile)
-        else:
-            gzfile = io.BufferedWriter(gzfile)
-    return gzfile
+        wrap = io.BufferedReader if "r" in mode else io.BufferedWriter
+        stream = wrap(stream)
+    return stream
 
 
-def open_bzip_file(filename, mode, **kwargs):
+def _open_bz2(filename, mode, **_kwargs):
     if "t" in mode:
         return io.TextIOWrapper(bz2.BZ2File(filename, mode[0]))
     return bz2.BZ2File(filename, mode)
 
 
-def open_lzma_file(filename, mode, **kwargs):
+def _open_lzma(filename, mode, **_kwargs):
     return lzma.open(filename, mode)
 
 
-FILE_OPENERS = {
-    ".gz": open_gzip_file,
-    ".bz2": open_bzip_file,
-    ".xz": open_lzma_file,
-}
+@dataclass(frozen=True)
+class Codec:
+    """One compression format: its extension, library module, and opener."""
+
+    extension: str
+    module: object
+    opener: object
+
+
+_CODECS = (
+    Codec(".gz", gzip, _open_gzip),
+    Codec(".bz2", bz2, _open_bz2),
+    Codec(".xz", lzma, _open_lzma),
+)
+_BY_EXTENSION = {codec.extension: codec for codec in _CODECS}
+
+
+def _codec_for(filename):
+    return _BY_EXTENSION.get(os.path.splitext(filename)[1])
+
+
+def can_use_system_compression():
+    """True when the external-gzip fast path is available."""
+    return get_program_path("gzip") is not None
+
+
+def get_compressor(filename):
+    """The compression library module for ``filename``, or None."""
+    codec = _codec_for(filename)
+    return codec.module if codec else None
 
 
 def get_file_opener(filename):
-    ext = os.path.splitext(filename)[1]
-    return FILE_OPENERS.get(ext)
-
-
-PROGRAM_CACHE = {}
-
-
-def get_program_path(program):
-    """Resolve and cache a program's path from $PATH."""
-    if program in PROGRAM_CACHE:
-        return PROGRAM_CACHE[program]
-
-    def is_exe(fpath):
-        return os.path.isfile(fpath) and os.access(fpath, os.X_OK)
-
-    exe_file = None
-    fpath, _ = os.path.split(program)
-    if fpath:
-        if is_exe(program):
-            exe_file = program
-    else:
-        for path in os.environ["PATH"].split(os.pathsep):
-            path = path.strip('"')
-            candidate = os.path.join(path, program)
-            if is_exe(candidate):
-                exe_file = candidate
-                break
-        else:
-            exe_file = None
-
-    PROGRAM_CACHE[program] = exe_file
-    return exe_file
-
-
-def splitext_compressed(name):
-    """Split ``name`` into (stem, filetype_ext, compression_ext_or_None)."""
-    ext1 = ext2 = None
-    for ext in COMPRESSORS:
-        if name.endswith(ext):
-            ext2 = ext
-            name = name[: -len(ext)]
-            break
-    name, ext1 = os.path.splitext(name)
-    return (name, ext1, ext2)
+    """The open() replacement for ``filename``, or None if uncompressed."""
+    codec = _codec_for(filename)
+    return codec.opener if codec else None
 
 
 def open_compressed_file(filename, mode):
-    """Open a compressed file, picking the decompressor from the file
-    extension (reference ``atropos/io/compression.py:243-258``)."""
+    """Open a compressed file, selecting the codec by extension."""
     opener = get_file_opener(filename)
-    if not opener:
-        raise ValueError("{} is not a recognized compression format".format(
-            filename))
+    if opener is None:
+        raise ValueError(
+            "{} is not a recognized compression format".format(filename)
+        )
     return opener(filename, mode)
+
+
+def splitext_compressed(name):
+    """Split a path into (stem, format_ext, compression_ext_or_None).
+
+    ``reads.fastq.gz`` -> (``reads``, ``.fastq``, ``.gz``).
+    """
+    compression_ext = None
+    for ext in _BY_EXTENSION:
+        if name.endswith(ext):
+            compression_ext = ext
+            name = name[: -len(ext)]
+            break
+    stem, format_ext = os.path.splitext(name)
+    return stem, format_ext, compression_ext
