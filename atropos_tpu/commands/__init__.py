@@ -13,132 +13,145 @@ optional arguments:
 
 Use "atropos <command> --help" to see all options for a specific command.
 """
-from importlib import import_module
 import logging
 import os
-from pkgutil import walk_packages
 import re
 import textwrap
+from functools import cached_property
+from importlib import import_module
+from pkgutil import walk_packages
 
 from atropos_tpu import __version__
 
 
 class Command:
-    """A command package: ``__init__.CommandRunner`` + ``cli.CommandParser``
-    + ``reports.ReportGenerator``, discovered by convention (the same
-    registry convention as the reference, ``atropos/commands/__init__.py``).
+    """One subcommand, resolved by package convention.
+
+    A command is a package under ``atropos_tpu.commands`` exposing
+    ``CommandRunner`` (in ``__init__``), ``cli.CommandParser`` and
+    ``reports.ReportGenerator``; the registry below discovers them by
+    walking subpackages (reference convention:
+    ``atropos/commands/__init__.py:156-159``).
     """
 
-    def __init__(self, name, module=None, cli_module=None, report_module=None):
+    def __init__(self, name):
         self.name = name
-        self.package = module or "atropos_tpu.commands.{}".format(name)
-        self.cli_module = cli_module or "{}.cli".format(self.package)
-        self.report_module = report_module or "{}.reports".format(self.package)
+        self._package = "atropos_tpu.commands." + name
 
-    def execute(self, args=()):
-        """Parse args, run the command, generate reports; returns
-        (retcode, summary)."""
-        options = self.parse_args(args)
-        retcode, summary = self.run_command(options)
-        if retcode == 0 and options.report_file:
-            logging.getLogger().debug("Writing report to %s", options.report_file)
-            self.generate_reports(summary, options)
-        else:
-            logging.getLogger().debug("Not generating report file")
-        return retcode, summary
+    @cached_property
+    def parser_class(self):
+        return import_module(self._package + ".cli").CommandParser
 
-    def get_command_parser_class(self):
-        mod = import_module(self.cli_module)
-        return mod.CommandParser
+    @cached_property
+    def runner_class(self):
+        return import_module(self._package).CommandRunner
+
+    @cached_property
+    def report_generator_class(self):
+        return import_module(self._package + ".reports").ReportGenerator
 
     @property
     def usage(self):
-        return self.get_command_parser_class().usage
+        return self.parser_class.usage
 
     @property
     def description(self):
-        return self.get_command_parser_class().description
+        return self.parser_class.description
 
     def get_help(self, fmt="* {name}: {description}", wrap=80, indent=2):
-        helpstr = fmt.format(name=self.name, description=self.description.strip())
+        text = fmt.format(name=self.name, description=self.description.strip())
         if wrap:
-            helpstr = "\n".join(
+            text = "\n".join(
                 textwrap.wrap(
-                    re.sub(r"\s+", " ", helpstr), wrap,
+                    re.sub(r"\s+", " ", text),
+                    wrap,
                     subsequent_indent=" " * indent,
                 )
             )
-        return helpstr
+        return text
 
     def parse_args(self, args):
-        parser_class = self.get_command_parser_class()
-        parser = parser_class()
-        return parser.parse(args)
-
-    def get_command_runner_class(self):
-        mod = import_module(self.package)
-        return mod.CommandRunner
+        return self.parser_class().parse(args)
 
     def run_command(self, options):
-        runner_class = self.get_command_runner_class()
-        runner = runner_class(options)
-        return runner.run()
-
-    def get_report_generator_class(self):
-        mod = import_module(self.report_module)
-        return mod.ReportGenerator
+        return self.runner_class(options).run()
 
     def generate_reports(self, summary, options):
-        generator_class = self.get_report_generator_class()
-        generator = generator_class(options)
-        generator.generate_reports(summary)
+        self.report_generator_class(options).generate_reports(summary)
+
+    def execute(self, args=()):
+        """Parse, run, report. Returns (retcode, summary)."""
+        options = self.parse_args(args)
+        retcode, summary = self.run_command(options)
+        log = logging.getLogger()
+        if retcode == 0 and options.report_file:
+            log.debug("Writing report to %s", options.report_file)
+            self.generate_reports(summary, options)
+        else:
+            log.debug("Not generating report file")
+        return retcode, summary
 
 
-COMMANDS = dict(
-    (name, Command(name))
+COMMANDS = {
+    name: Command(name)
     for _, name, ispkg in walk_packages([os.path.dirname(__file__)])
     if ispkg
-)
+}
 
 
 def get_command(name):
-    if name not in COMMANDS:
+    try:
+        return COMMANDS[name]
+    except KeyError:
         raise ValueError("Invalid command: {}".format(name))
-    return COMMANDS[name]
 
 
 def iter_commands():
-    for name in sorted(COMMANDS.keys()):
+    for name in sorted(COMMANDS):
         yield COMMANDS[name]
 
 
+def print_subcommands():
+    listing = "\n".join(command.get_help() for command in iter_commands())
+    print(__doc__.format(__version__, listing))
+
+
+def _read_config_args(path):
+    """Tokenize an options file: whitespace-separated, newline-agnostic."""
+    with open(path, "rt") as config:
+        return [token for line in config for token in line.rstrip().split()]
+
+
+def _split_command(args):
+    """(command_name, remaining_args); a leading option implies 'trim'."""
+    if not args or args[0].startswith("-"):
+        return "trim", args
+    return args[0], args[1:]
+
+
 def execute_cli(args=()):
-    """Entry point: dispatch to a subcommand ('trim' when the first arg is
-    an option), with ``--config FILE`` support."""
-    if len(args) == 0 or args[0] in ("-h", "--help"):
+    """Top-level dispatch with ``--config FILE`` support.
+
+    Config-file tokens are prepended to the command's arguments; when the
+    command line holds nothing but ``--config``, the command name itself
+    comes from the file.
+    """
+    args = list(args)
+    if not args or args[0] in ("-h", "--help"):
         print_subcommands()
         return 2
 
     config_args = None
-
     if args[0] == "--config":
-        with open(args[1], "rt") as config_file:
-            config_args = list(
-                token for line in config_file for token in line.rstrip().split()
-            )
+        config_args = _read_config_args(args[1])
         args = args[2:]
 
-    def parse_command(args):
-        if not args or args[0][0] == "-":
-            return ("trim", args)
-        return (args[0], args[1:])
-
-    if len(args) == 0:
-        command_name, args = parse_command(config_args)
-    else:
-        command_name, args = parse_command(args)
+    if args:
+        command_name, args = _split_command(args)
         if config_args:
             args = config_args + args
+    else:
+        command_name, args = _split_command(config_args)
 
     try:
         command = get_command(command_name)
@@ -155,11 +168,3 @@ def execute_cli(args=()):
             "Error executing command: %s", command_name, exc_info=err
         )
         return 2
-
-
-def print_subcommands():
-    print(
-        __doc__.format(
-            __version__, "\n".join(command.get_help() for command in iter_commands())
-        )
-    )

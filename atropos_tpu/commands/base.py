@@ -1,15 +1,15 @@
-"""Pipeline core: batch loop, summary tree, and the command runner/batcher.
+"""Shared command machinery: the batch loop, the summary tree, and the
+record batcher every command runner is built on.
 
-This is the host-side control plane shared by all commands (the analog of
-``atropos/commands/base.py``). Records stream from a reader into batches of
-``batch_size``; a Pipeline consumes batches, and on finish the summary tree
-is collapsed. Batches are the unit handed to the device engine, which turns
-them into struct-of-array tensors.
+Records stream off a reader and are grouped into fixed-size batches (the
+unit of work the device engine encodes into struct-of-array tensors, and
+the unit the parallel runtimes ship between processes/hosts). Summaries
+are merge-capable dict trees that collapse to plain data at the end of a
+run. Control-flow contract follows ``atropos/commands/base.py``.
 """
-from collections.abc import Sequence
-import copy
 import platform
 import sys
+from collections.abc import Sequence
 
 from atropos_tpu import AtroposError, __version__
 from atropos_tpu.adapters import AdapterCache
@@ -18,7 +18,7 @@ from atropos_tpu.util import Const, MergingDict, Summarizable, Timing
 
 
 class Pipeline:
-    """Base class for analysis pipelines (batch loop)."""
+    """Consumes record batches, tracking per-source record/bp tallies."""
 
     def __init__(self):
         self.record_counts = {}
@@ -42,18 +42,15 @@ class Pipeline:
         pass
 
     def process_batch(self, batch):
-        """Run the pipeline on one ({batch_metadata}, [records]) batch."""
+        """Handle one ({metadata}, [records]) batch."""
         batch_meta, records = batch
         context = batch_meta.copy()
-
-        if context["source"] not in self.record_counts:
-            self.record_counts[context["source"]] = 0
-        self.record_counts[context["source"]] += context["size"]
-
-        if context["source"] not in self.bp_counts:
-            self.bp_counts[context["source"]] = [0, 0]
-        context["bp"] = self.bp_counts[context["source"]]
-
+        source = context["source"]
+        self.record_counts[source] = (
+            self.record_counts.get(source, 0) + context["size"]
+        )
+        # per-source [read1_bp, read2_bp]; handlers mutate it in place
+        context["bp"] = self.bp_counts.setdefault(source, [0, 0])
         self.add_to_context(context)
         self.handle_records(context, records)
 
@@ -78,13 +75,13 @@ class Pipeline:
         raise NotImplementedError()
 
     def finish(self, summary, **kwargs):
-        total_bp_counts = tuple(sum(b) for b in zip(*self.bp_counts.values()))
+        totals = tuple(sum(col) for col in zip(*self.bp_counts.values()))
         summary.update(
             record_counts=self.record_counts,
             total_record_count=sum(self.record_counts.values()),
             bp_counts=self.bp_counts,
-            total_bp_counts=total_bp_counts,
-            sum_total_bp_count=sum(total_bp_counts),
+            total_bp_counts=totals,
+            sum_total_bp_count=sum(totals),
         )
 
 
@@ -97,50 +94,62 @@ class SingleEndPipelineMixin:
 class PairedEndPipelineMixin:
     def handle_record(self, context, record):
         read1, read2 = record
-        bps = context["bp"]
-        bps[0] += len(read1.sequence)
-        bps[1] += len(read2.sequence)
+        counts = context["bp"]
+        counts[0] += len(read1.sequence)
+        counts[1] += len(read2.sequence)
         return self.handle_reads(context, read1, read2)
 
 
 class Summary(MergingDict):
-    """Summary tree; ``finish`` collapses Summarizable/Const members."""
+    """The run's summary tree.
+
+    While the run is live, nodes may be Summarizable/Const objects;
+    ``finish`` walks the tree bottom-up replacing them with plain data so
+    the result serializes cleanly.
+    """
 
     @property
     def has_exception(self):
         return "exception" in self
 
     def finish(self):
-        self._post_process_dict(self)
+        self._collapse(self)
 
-    def _post_process_dict(self, dict_val):
-        if dict_val is None:
+    def _collapse(self, node):
+        if node is None:
             return
-        for key, value in tuple(dict_val.items()):
+        for key, value in tuple(node.items()):
             if value is None:
                 continue
             if isinstance(value, Summarizable):
-                dict_val[key] = value = value.summarize()
+                node[key] = value = value.summarize()
             if isinstance(value, dict):
-                self._post_process_dict(value)
-            elif (
-                isinstance(value, Sequence)
-                and len(value) > 0
-                and all(val is None or isinstance(val, dict) for val in value)
-            ):
-                for val in value:
-                    self._post_process_dict(val)
+                self._collapse(value)
+            elif isinstance(value, Sequence) and self._is_dict_list(value):
+                for child in value:
+                    self._collapse(child)
             else:
                 if isinstance(value, Const):
-                    dict_val[key] = value = value.value
-                self._post_process_other(dict_val, key, value)
+                    node[key] = value = value.value
+                self._post_process_other(node, key, value)
+
+    @staticmethod
+    def _is_dict_list(value):
+        return len(value) > 0 and all(
+            child is None or isinstance(child, dict) for child in value
+        )
 
     def _post_process_other(self, parent, key, value):
         pass
 
 
 class BaseCommandRunner:
-    """Opens the reader, batches records, and executes the command."""
+    """Owns the reader + batcher + summary for one command invocation.
+
+    Iterating the runner yields batches; attribute lookups fall through to
+    the reader and then to the parsed options, so command code can write
+    ``self.quality_base`` etc. without caring where the value lives.
+    """
 
     def __init__(self, options, summary_class=Summary):
         self.options = options
@@ -150,59 +159,20 @@ class BaseCommandRunner:
         self.size = options.batch_size or 1000
         self.batches = 0
         self.done = False
-        self._empty_batch = [None] * self.size
-        self._progress_options = None
-        # multi-host sharding (atropos_tpu.parallel.distributed): when
-        # shard_count > 1 this host only yields batches it owns
+        # multi-host sharding (atropos_tpu.parallel.distributed): with
+        # shard_count > 1 this host only yields the batches it owns
         self.shard_rank = 0
         self.shard_count = 1
+        self._progress_options = None
 
-        if getattr(options, "sra_reader", None):
-            self.reader = reader = sra_reader(
-                reader=options.sra_reader,
-                quality_base=options.quality_base,
-                colorspace=options.colorspace,
-                input_read=options.input_read,
-                alphabet=options.alphabet,
-            )
-            options.sra_reader = None
-        else:
-            interleaved = bool(options.interleaved_input)
-            input1 = (
-                options.interleaved_input if interleaved else options.input1
-            )
-            input2 = qualfile = None
-            if options.paired and not interleaved:
-                input2 = options.input2
-            else:
-                qualfile = options.input2
-            self.reader = reader = open_reader(
-                file1=input1,
-                file2=input2,
-                file_format=options.format,
-                qualfile=qualfile,
-                quality_base=options.quality_base,
-                colorspace=options.colorspace,
-                interleaved=interleaved,
-                input_read=options.input_read,
-                alphabet=options.alphabet,
-            )
+        self.reader = self._open_input(options)
 
-        # subsampling wrapper
+        source = iter(self.reader)
         if options.subsample:
-            import random
-
-            if options.subsample_seed:
-                random.seed(options.subsample_seed)
-
-            def subsample(reader, frac):
-                for reads in reader:
-                    if random.random() < frac:
-                        yield reads
-
-            reader = subsample(reader, options.subsample)
-
-        self.iterable = enumerate(reader, 1)
+            source = self._subsampled(source, options.subsample,
+                                      options.subsample_seed)
+        self.iterable = enumerate(source, 1)
+        self._batch_source = self._generate_batches()
 
         if options.progress:
             self._progress_options = (
@@ -214,74 +184,127 @@ class BaseCommandRunner:
 
         self.init_summary()
 
+    @staticmethod
+    def _open_input(options):
+        if getattr(options, "sra_reader", None):
+            reader = sra_reader(
+                reader=options.sra_reader,
+                quality_base=options.quality_base,
+                colorspace=options.colorspace,
+                input_read=options.input_read,
+                alphabet=options.alphabet,
+            )
+            options.sra_reader = None
+            return reader
+        interleaved = bool(options.interleaved_input)
+        input1 = options.interleaved_input if interleaved else options.input1
+        input2 = qualfile = None
+        if options.paired and not interleaved:
+            input2 = options.input2
+        else:
+            qualfile = options.input2
+        return open_reader(
+            file1=input1,
+            file2=input2,
+            file_format=options.format,
+            qualfile=qualfile,
+            quality_base=options.quality_base,
+            colorspace=options.colorspace,
+            interleaved=interleaved,
+            input_read=options.input_read,
+            alphabet=options.alphabet,
+        )
+
+    @staticmethod
+    def _subsampled(source, fraction, seed):
+        import random
+
+        if seed:
+            random.seed(seed)
+
+        def gen():
+            for record in source:
+                if random.random() < fraction:
+                    yield record
+
+        return gen()
+
     def __getattr__(self, name):
         if hasattr(self.reader, name):
             return getattr(self.reader, name)
-        elif hasattr(self.options, name):
+        if hasattr(self.options, name):
             return getattr(self.options, name)
         raise ValueError("Unknown attribute: {}".format(name))
 
+    # -- batching ------------------------------------------------------------
+
     def iterator(self):
+        """The batch iterator, progress-wrapped when requested."""
         if self._progress_options:
             from atropos_tpu.io.progress import create_progress_reader
 
-            itr = create_progress_reader(self, *self._progress_options)
-            if itr is not None:
-                return itr
+            wrapped = create_progress_reader(self, *self._progress_options)
+            if wrapped is not None:
+                return wrapped
         return self
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        while True:
-            result = self._next_batch()
-            if (
-                self.shard_count <= 1
-                or (result[0]["index"] - 1) % self.shard_count
-                == self.shard_rank
-            ):
-                return result
+        return next(self._batch_source)
 
-    def _next_batch(self):
-        if self.done:
-            raise StopIteration()
+    def _generate_batches(self):
+        """Group records into (metadata, [records]) batches.
 
+        The reader is finished (closed, summary collapsed) as soon as the
+        input is exhausted or the --max-reads quota is reached — before
+        the final partial batch is delivered. A mid-stream reader error
+        finishes the reader and propagates, dropping the partial batch.
+        """
+        quota = None
+        pending = []
         try:
-            read_index, record = next(self.iterable)
-        except:  # noqa: E722 — finish() then re-raise, incl. StopIteration
+            while True:
+                try:
+                    read_index, record = next(self.iterable)
+                except StopIteration:
+                    break
+                if quota is None:
+                    # max_reads may resolve via reader/options delegation,
+                    # so sample it lazily (0 = unlimited)
+                    quota = self.max_reads or 0
+                pending.append(record)
+                hit_quota = quota and read_index >= quota
+                if len(pending) >= self.size or hit_quota:
+                    if hit_quota:
+                        self.finish()
+                    batch = self._assemble(pending)
+                    pending = []
+                    if batch is not None:
+                        yield batch
+                    if hit_quota:
+                        return
+        except BaseException:
             self.finish()
             raise
+        self.finish()
+        if pending:
+            batch = self._assemble(pending)
+            if batch is not None:
+                yield batch
 
-        batch = copy.copy(self._empty_batch)
-        batch[0] = record
-        batch_index = 1
-        max_size = self.size
-        if self.max_reads:
-            max_size = min(max_size, self.max_reads - read_index + 1)
-
-        while batch_index < max_size:
-            try:
-                read_index, record = next(self.iterable)
-                batch[batch_index] = record
-                batch_index += 1
-            except StopIteration:
-                self.finish()
-                break
-            except:  # noqa: E722
-                self.finish()
-                raise
-
-        if self.max_reads and read_index >= self.max_reads:
-            self.finish()
-
+    def _assemble(self, records):
+        """Number the batch; None when another shard owns it."""
         self.batches += 1
+        if self.shard_count > 1 and (
+            (self.batches - 1) % self.shard_count != self.shard_rank
+        ):
+            return None
+        meta = dict(index=self.batches, source=0, size=len(records))
+        return (meta, list(records))
 
-        batch_meta = dict(index=self.batches, source=0, size=batch_index)
-
-        if batch_index == self.size:
-            return (batch_meta, batch)
-        return (batch_meta, batch[0:batch_index])
+    # -- summary / lifecycle ---------------------------------------------------
 
     def init_summary(self):
         self.summary["program"] = "Atropos"
@@ -297,7 +320,7 @@ class BaseCommandRunner:
         )
 
     def run(self):
-        """Run the command within a Timing; returns (retcode, summary)."""
+        """Execute the command under timing; returns (retcode, summary)."""
         with self.timing:
             try:
                 self.return_code = self()
@@ -308,7 +331,6 @@ class BaseCommandRunner:
                 self.return_code = 1
             finally:
                 self.finish()
-
         return (self.return_code, self.summary)
 
     def __call__(self):
@@ -321,20 +343,20 @@ class BaseCommandRunner:
         self.summary.finish()
 
     def load_known_adapters(self):
-        """Load known adapters per command-line options."""
-        cache_file = None
+        """Build the adapter-name cache per the run's options."""
+        cache_file = (
+            self.options.adapter_cache_file
+            if self.options.cache_adapters
+            else None
+        )
+        cache = AdapterCache(cache_file)
+        if cache.empty and self.options.default_adapters:
+            cache.load_default()
+        for spec in self.options.known_adapter or ():
+            name, seq = spec.split("=")
+            cache.add(name, seq)
+        for url in self.options.known_adapters_file or ():
+            cache.load_from_url(url)
         if self.options.cache_adapters:
-            cache_file = self.options.adapter_cache_file
-        adapter_cache = AdapterCache(cache_file)
-        if adapter_cache.empty and self.options.default_adapters:
-            adapter_cache.load_default()
-        if self.options.known_adapter:
-            for known in self.options.known_adapter:
-                name, seq = known.split("=")
-                adapter_cache.add(name, seq)
-        if self.options.known_adapters_file:
-            for known_file in self.options.known_adapters_file:
-                adapter_cache.load_from_url(known_file)
-        if self.options.cache_adapters:
-            adapter_cache.save()
-        return adapter_cache
+            cache.save()
+        return cache

@@ -192,7 +192,7 @@ def test_template_report(tmp_path):
     ])
     retcode, summary = command.run_command(options)
     assert retcode == 0
-    generator = command.get_report_generator_class()(options)
+    generator = command.report_generator_class(options)
     generator.report_args = tuple(
         {"template_paths": [str(tpl_dir)]} for _ in generator.report_formats
     )
@@ -213,7 +213,7 @@ def test_template_report_missing_template(tmp_path):
     retcode, summary = command.run_command(options)
     assert retcode == 0
     with pytest.raises(IOError):
-        command.get_report_generator_class()(options).generate_reports(summary)
+        command.report_generator_class(options).generate_reports(summary)
 
 
 def test_qc_parallel_matches_serial(tmp_path):

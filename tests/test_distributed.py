@@ -46,6 +46,9 @@ def test_distributed_two_process_trim(tmp_path):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env.pop("JAX_PLATFORMS", None)
+    # this test asserts the record-batcher's round-robin shard contract;
+    # the turbo path's chunk-ownership sharding has its own test below
+    env["ATROPOS_TPU_ENGINE"] = "0"
     out = str(tmp_path / "out.fq")
     report = str(tmp_path / "report.txt")
     in_path = datapath("big.1.fq")
