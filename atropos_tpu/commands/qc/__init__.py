@@ -1,9 +1,10 @@
 """The 'qc' command: FastQC-style read statistics.
 
-Behavior parity with the reference (``atropos/commands/qc/__init__.py``).
-The device engine computes the same statistics as fixed-shape count
-tensors merged with psum (see ``atropos_tpu.parallel``); the host path
-remains the schema authority.
+Collection is batch-vectorized over the tensor accumulators in
+:mod:`atropos_tpu.commands.stats` (the reference's per-read dict loop,
+``atropos/commands/qc/__init__.py``, is the behavioral model). Serial and
+forked-parallel execution share one pipeline; parallel workers' count
+tensors merge by addition when summaries combine.
 """
 from atropos_tpu.commands.base import (
     BaseCommandRunner,
@@ -19,47 +20,54 @@ from atropos_tpu.util import run_interruptible
 
 
 class QcPipeline(Pipeline):
-    """Base Pipeline for the qc command."""
+    """Statistics-collection pipeline; one accumulator per input source."""
 
-    def __init__(self, read_statistics_class, **kwargs):
+    statistics_class = None
+
+    def __init__(self, **kwargs):
         super().__init__()
-        self.read_statistics_class = read_statistics_class
         self.stats = {}
         self.stats_kwargs = kwargs
 
     def _get_stats(self, source):
         if source not in self.stats:
-            self.stats[source] = self.read_statistics_class(**self.stats_kwargs)
+            self.stats[source] = self.statistics_class(**self.stats_kwargs)
         return self.stats[source]
 
+    def handle_records(self, context, records):
+        """Collect the whole batch with one set of vectorized scatter-adds
+        (the per-record loop only remains for bp accounting)."""
+        for record in records:
+            self.handle_record(context, record)
+        self._get_stats(context["source"]).collect_batch(records)
+
     def handle_reads(self, context, read1, read2=None):
-        self._get_stats(context["source"]).collect(read1, read2)
+        # bp counts are accumulated by the pipeline mixins via
+        # handle_record; statistics collection happens batch-wise above
+        pass
 
     def finish(self, summary, **kwargs):
         super().finish(summary)
-        summary["pre"] = dict(
-            (source, stats.summarize()) for source, stats in self.stats.items()
-        )
+        summary["pre"] = {
+            source: stats.summarize() for source, stats in self.stats.items()
+        }
 
 
 class SingleEndQcPipeline(SingleEndPipelineMixin, QcPipeline):
-    def __init__(self, **kwargs):
-        super().__init__(SingleEndReadStatistics, **kwargs)
+    statistics_class = SingleEndReadStatistics
 
 
 class PairedEndQcPipeline(PairedEndPipelineMixin, QcPipeline):
-    def __init__(self, **kwargs):
-        super().__init__(PairedEndReadStatistics, **kwargs)
+    statistics_class = PairedEndReadStatistics
 
 
 class CommandRunner(BaseCommandRunner):
     name = "qc"
 
     def __call__(self):
-        if self.paired:
-            pipeline_class = PairedEndQcPipeline
-        else:
-            pipeline_class = SingleEndQcPipeline
+        pipeline_class = (
+            PairedEndQcPipeline if self.paired else SingleEndQcPipeline
+        )
         pipeline_args = dict(
             qualities=self.delivers_qualities, quality_base=self.quality_base
         )
@@ -68,14 +76,13 @@ class CommandRunner(BaseCommandRunner):
 
         if self.threads is None:
             self.summary.update(mode="serial", threads=1)
-            pipeline = pipeline_class(**pipeline_args)
-            return run_interruptible(pipeline, self)
+            return run_interruptible(pipeline_class(**pipeline_args), self)
         self.summary.update(mode="parallel", threads=self.threads)
-        return self.run_parallel(pipeline_class, pipeline_args)
+        return self._run_parallel(pipeline_class, pipeline_args)
 
-    def run_parallel(self, pipeline_class, pipeline_args):
-        """Run qc over forked workers, merging worker summaries (reference
-        ``atropos/commands/qc/__init__.py:66-90``)."""
+    def _run_parallel(self, pipeline_class, pipeline_args):
+        """Fork worker processes, each running the same pipeline over its
+        share of batches; summaries (tensor adds) merge at the end."""
         import logging
 
         from atropos_tpu.commands.multicore import (
@@ -83,11 +90,10 @@ class CommandRunner(BaseCommandRunner):
             ParallelPipelineRunner,
         )
 
-        pipeline_class = type(
+        parallel_class = type(
             "QcPipelineImpl", (ParallelPipelineMixin, pipeline_class), {}
         )
-        pipeline = pipeline_class(**pipeline_args)
-        runner = ParallelPipelineRunner(self, pipeline)
+        runner = ParallelPipelineRunner(self, parallel_class(**pipeline_args))
         logging.getLogger().debug(
             "Starting atropos qc in parallel mode with threads=%d, timeout=%d",
             runner.threads,

@@ -1,131 +1,230 @@
-"""FastQC-style read statistics accumulators.
+"""FastQC-style read statistics over fixed-shape count tensors.
 
-Host-side dict-based accumulators matching the reference's summary schema
-(``atropos/commands/stats.py``). The device engine produces the same
-numbers from fixed-shape count tensors ([Lmax, 5] base composition,
-[Lmax, Q] quality composition) merged across shards with ``psum``; these
-classes are the schema boundary used for reports and for rare host paths.
+Instead of the reference's per-read dict updates
+(``atropos/commands/stats.py:112-311``), statistics accumulate into dense
+numpy count matrices — ``[Lmax, 256]`` per-position byte composition for
+bases and qualities, dense histogram vectors for length/GC/mean-quality —
+which makes collection a handful of vectorized scatter-adds per batch,
+merging a tensor add (the host image of the device ``psum``; see
+``atropos_tpu.parallel``), and the report schema a pure rendering step.
+Summaries render to the exact dict schema of the reference so reports are
+unchanged.
 """
 import re
 
+import numpy as np
+
 from atropos_tpu.util import (
-    CountingDict,
     Histogram,
     Mergeable,
     NestedDict,
     Summarizable,
     ordered_dict,
-    qual2int,
 )
 
 DEFAULT_TILE_KEY_REGEXP = r"^(?:[^\:]+\:){4}([^\:]+)"
-"""Regexp for the default Illumina read name format."""
+"""Tile id extractor for the standard Illumina read-name format."""
+
+_ASCII = 256
 
 
-class PositionDicts(Mergeable, Summarizable):
-    """A growable sequence of dicts, one per read position."""
+def _grow_rows(matrix, rows):
+    """Return ``matrix`` with at least ``rows`` rows (zero-padded)."""
+    if matrix.shape[0] >= rows:
+        return matrix
+    grown = np.zeros((rows,) + matrix.shape[1:], dtype=matrix.dtype)
+    grown[: matrix.shape[0]] = matrix
+    return grown
+
+
+def _encode_batch(records):
+    """Pack record sequences/qualities into padded uint8 matrices."""
+    count = len(records)
+    lengths = np.fromiter(
+        (len(record.sequence) for record in records), np.int32, count
+    )
+    width = int(lengths.max()) if count else 0
+    seqs = np.zeros((count, width), np.uint8)
+    quals = None
+    for row, record in enumerate(records):
+        seqs[row, : lengths[row]] = np.frombuffer(
+            record.sequence.encode("ascii"), np.uint8
+        )
+    if records and records[0].qualities is not None:
+        quals = np.zeros((count, width), np.uint8)
+        for row, record in enumerate(records):
+            quals[row, : lengths[row]] = np.frombuffer(
+                record.qualities.encode("ascii"), np.uint8
+            )
+    return seqs, quals, lengths
+
+
+class DenseHistogram(Mergeable, Summarizable):
+    """Histogram over small non-negative integers, stored densely.
+
+    Renders through :class:`~atropos_tpu.util.Histogram` so the summary
+    schema (sorted hist + mean/stdev/median/modes) is unchanged.
+    """
+
+    def __init__(self, size=128):
+        self.counts = np.zeros(size, np.int64)
+
+    def add_value(self, value, inc=1):
+        if value >= self.counts.shape[0]:
+            self.counts = _grow_rows(self.counts, value + 1)
+        self.counts[value] += inc
+
+    def add_vector(self, values):
+        top = int(values.max()) if values.size else 0
+        if top >= self.counts.shape[0]:
+            self.counts = _grow_rows(self.counts, top + 1)
+        self.counts += np.bincount(values, minlength=self.counts.shape[0])
+
+    def merge(self, other):
+        if not isinstance(other, DenseHistogram):
+            raise ValueError("cannot merge {}".format(type(other)))
+        rows = max(self.counts.shape[0], other.counts.shape[0])
+        self.counts = _grow_rows(self.counts, rows)
+        self.counts[: other.counts.shape[0]] += other.counts
+        return self
+
+    def as_histogram(self):
+        rendered = Histogram()
+        for value in np.nonzero(self.counts)[0]:
+            rendered[int(value)] = int(self.counts[value])
+        return rendered
+
+    def summarize(self):
+        return self.as_histogram().summarize()
+
+
+class PositionByteCounts(Mergeable, Summarizable):
+    """``[positions, 256]`` count matrix: how often each byte (base char or
+    quality char) occurs at each read position."""
 
     def __init__(self, is_qualities=False, quality_base=33):
-        self.dicts = []
+        self.counts = np.zeros((0, _ASCII), np.int64)
         self.is_qualities = is_qualities
         self.quality_base = quality_base
 
-    def __getitem__(self, idx):
-        if idx >= len(self.dicts):
-            self.extend(idx + 1)
-        return self.dicts[idx]
+    def add_record(self, data):
+        """Count one read's byte vector (positions are unique, so fancy
+        indexing cannot collide)."""
+        n = data.shape[0]
+        self.counts = _grow_rows(self.counts, n)
+        self.counts[np.arange(n), data] += 1
 
-    def __iter__(self):
-        return iter(self.dicts)
-
-    def extend(self, size):
-        diff = size - len(self.dicts)
-        if diff > 0:
-            for _ in range(diff):
-                self.dicts.append(self.dict_class())
+    def add_batch(self, matrix, lengths):
+        """Scatter-add a padded ``[B, L]`` byte matrix, masking padding."""
+        width = matrix.shape[1]
+        self.counts = _grow_rows(self.counts, width)
+        valid = np.arange(width)[None, :] < lengths[:, None]
+        pos = np.broadcast_to(np.arange(width)[None, :], matrix.shape)
+        flat = pos[valid] * _ASCII + matrix[valid]
+        self.counts[:width] += np.bincount(
+            flat, minlength=width * _ASCII
+        ).reshape(width, _ASCII)
 
     def merge(self, other):
-        if not isinstance(other, PositionDicts):
-            raise ValueError("Cannot merge object of type {}".format(type(other)))
-        other_len = len(other.dicts)
-        min_len = min(len(self.dicts), other_len)
-        for i in range(min_len):
-            self.dicts[i].merge(other.dicts[i])
-        if other_len > min_len:
-            self.dicts.extend(other.dicts[min_len:other_len])
+        if not isinstance(other, PositionByteCounts):
+            raise ValueError("cannot merge {}".format(type(other)))
+        rows = max(self.counts.shape[0], other.counts.shape[0])
+        self.counts = _grow_rows(self.counts, rows)
+        self.counts[: other.counts.shape[0]] += other.counts
+        return self
 
-    def summarize(self):
-        raise NotImplementedError()
+    def observed_bytes(self):
+        return np.nonzero(self.counts.any(axis=0))[0]
 
-
-class BaseCountingDicts(PositionDicts):
-    """Per-position CountingDicts (base or quality composition)."""
-
-    dict_class = CountingDict
-
-    def summarize(self):
-        keys = set()
-        for dict_item in self.dicts:
-            keys.update(dict_item.keys())
+    def column_order(self):
+        """(column labels, byte codes) in report order: qualities sort by
+        character; bases render as A,C,G,T,<others>,N with A/C/G/T/N
+        always present."""
+        seen = self.observed_bytes()
         if self.is_qualities:
-            keys = tuple(sorted(keys))
-            columns = tuple(qual2int(k, self.quality_base) for k in keys)
-        else:
-            acgt = ("A", "C", "G", "T")
-            n_val = ("N",)
-            columns = keys = acgt + tuple(keys - set(acgt + n_val)) + n_val
+            keys = [int(code) for code in seen]
+            return tuple(code - self.quality_base for code in keys), keys
+        named = [chr(code) for code in seen]
+        acgt = ["A", "C", "G", "T"]
+        extras = sorted(set(named) - set(acgt + ["N"]))
+        labels = acgt + extras + ["N"]
+        return tuple(labels), [ord(ch) for ch in labels]
+
+    def summarize(self):
+        columns, codes = self.column_order()
         return dict(
             columns=columns,
             rows=ordered_dict(
-                (idx, tuple(dict_item.get(key, 0) for key in keys))
-                for idx, dict_item in enumerate(self.dicts, 1)
+                (pos + 1, tuple(int(c) for c in self.counts[pos, codes]))
+                for pos in range(self.counts.shape[0])
             ),
         )
 
 
-class BaseNestedDicts(PositionDicts):
-    """Per-position NestedDicts (e.g. per-tile quality composition)."""
+class TilePositionCounts(Mergeable, Summarizable):
+    """Per-tile :class:`PositionByteCounts` (``--stats :tiles`` mode)."""
 
-    dict_class = NestedDict
+    def __init__(self, is_qualities=False, quality_base=33):
+        self.tiles = {}
+        self.is_qualities = is_qualities
+        self.quality_base = quality_base
+
+    def table_for(self, tile):
+        table = self.tiles.get(tile)
+        if table is None:
+            table = PositionByteCounts(self.is_qualities, self.quality_base)
+            self.tiles[tile] = table
+        return table
+
+    def merge(self, other):
+        if not isinstance(other, TilePositionCounts):
+            raise ValueError("cannot merge {}".format(type(other)))
+        for tile, table in other.tiles.items():
+            if tile in self.tiles:
+                self.tiles[tile].merge(table)
+            else:
+                self.tiles[tile] = table
+        return self
 
     def summarize(self):
-        keys1 = set()
-        keys2 = set()
-        for dict1 in self.dicts:
-            keys1.update(dict1.keys())
-            for dict2 in dict1.values():
-                keys2.update(dict2.keys())
-        keys1 = tuple(sorted(keys1))
-        keys2 = tuple(sorted(keys2))
+        tiles = tuple(sorted(self.tiles))
+        seen = set()
+        for table in self.tiles.values():
+            seen.update(int(code) for code in table.observed_bytes())
+        codes = sorted(seen)
         if self.is_qualities:
-            columns = tuple(qual2int(k, self.quality_base) for k in keys2)
+            columns = tuple(code - self.quality_base for code in codes)
         else:
-            columns = keys2
+            columns = tuple(chr(code) for code in codes)
+        positions = max(
+            (table.counts.shape[0] for table in self.tiles.values()), default=0
+        )
+
+        def row(pos):
+            cells = ordered_dict([])
+            for tile in tiles:
+                counts = self.tiles[tile].counts
+                if pos < counts.shape[0]:
+                    cells[tile] = tuple(int(c) for c in counts[pos, codes])
+                else:
+                    cells[tile] = tuple(0 for _ in codes)
+            return cells
+
         return dict(
             columns=columns,
-            columns2=keys1,
-            rows=ordered_dict(
-                (
-                    idx,
-                    ordered_dict(
-                        (key1, tuple(dict_item[key1].get(key2, 0) for key2 in keys2))
-                        for key1 in keys1
-                    ),
-                )
-                for idx, dict_item in enumerate(self.dicts, 1)
-            ),
+            columns2=tiles,
+            rows=ordered_dict((pos + 1, row(pos)) for pos in range(positions)),
         )
 
 
 class ReadStatistics:
-    """Accumulates per-read and per-position statistics."""
+    """Read-level and position-level statistics for one input source."""
 
     def __init__(self, qualities=None, quality_base=33, tiles=None):
-        self.max_read_len = 0
         self.count = 0
-        self.sequence_lengths = Histogram()
-        self.sequence_gc = Histogram()
-        self.bases = BaseCountingDicts()
+        self.sequence_lengths = DenseHistogram()
+        self.sequence_gc = DenseHistogram(101)
+        self.bases = PositionByteCounts()
 
         self.qualities = qualities
         self.quality_base = quality_base
@@ -133,49 +232,42 @@ class ReadStatistics:
         self.sequence_qualities = None
         self.base_qualities = None
         self.tile_base_qualities = None
+        self.tile_sequence_qualities = None
 
         if qualities:
-            tile_key_regexp = DEFAULT_TILE_KEY_REGEXP if tiles is True else tiles
-            if isinstance(tile_key_regexp, str):
-                tile_key_regexp = re.compile(tile_key_regexp)
-            self.tile_key_regexp = tile_key_regexp
+            pattern = DEFAULT_TILE_KEY_REGEXP if tiles is True else tiles
+            if isinstance(pattern, str):
+                pattern = re.compile(pattern)
+            self.tile_key_regexp = pattern
             self._init_qualities()
-
-        self._cache = {}
 
     def _init_qualities(self):
         self.sequence_qualities = Histogram()
-        self.base_qualities = BaseCountingDicts(
+        self.base_qualities = PositionByteCounts(
             is_qualities=True, quality_base=self.quality_base
         )
         if self.tile_key_regexp:
-            self.tile_base_qualities = BaseNestedDicts(
+            self.tile_base_qualities = TilePositionCounts(
                 is_qualities=True, quality_base=self.quality_base
             )
             self.tile_sequence_qualities = NestedDict()
 
-    def _gc_pct(self):
-        return sum(base["C"] + base["G"] for base in self.bases) / self.total_bases
-
-    def _total_bases(self):
-        return sum(
-            count for base in self.bases for _, count in base.items()
-        )
-
-    def __getattr__(self, name):
-        if name.startswith("_"):
-            raise AttributeError(name)
-        cache = self.__dict__.setdefault("_cache", {})
-        if name not in cache:
-            func_name = "_" + name
-            if not hasattr(self, func_name):
-                raise ValueError("No function named {}".format(func_name))
-            cache[name] = getattr(self, func_name)()
-        return cache[name]
-
     @property
     def track_tiles(self):
         return self.qualities and self.tile_key_regexp is not None
+
+    def _tile_of(self, record):
+        found = self.tile_key_regexp.match(record.name)
+        if not found:
+            raise ValueError(
+                "{} did not match {}".format(self.tile_key_regexp, record.name)
+            )
+        return found.group(1)
+
+    # -- collection ----------------------------------------------------------
+
+    def collect(self, read1, read2=None):
+        raise NotImplementedError()
 
     def collect_record(self, record):
         if self.qualities is None and record.qualities:
@@ -184,62 +276,72 @@ class ReadStatistics:
 
         seq = record.sequence
         seqlen = len(seq)
-
         self.count += 1
-        self.sequence_lengths[seqlen] += 1
+        self.sequence_lengths.add_value(seqlen)
+        if seqlen == 0:
+            return
 
-        if seqlen > 0:
-            gc_pct = round((seq.count("C") + seq.count("G")) * 100 / seqlen)
-            self.sequence_gc[gc_pct] += 1
+        data = np.frombuffer(seq.encode("ascii"), np.uint8)
+        gc = seq.count("C") + seq.count("G")
+        self.sequence_gc.add_value(round(gc * 100 / seqlen))
+        self.bases.add_record(data)
 
-            if seqlen > self.max_read_len:
-                self._extend_bases(seqlen)
-                self.max_read_len = seqlen
+        if not self.qualities or record.qualities is None:
+            return
+        quals = np.frombuffer(record.qualities.encode("ascii"), np.uint8)
+        mean_quality = round(
+            (int(quals.sum()) - seqlen * self.quality_base) / seqlen
+        )
+        self.sequence_qualities[mean_quality] += 1
+        self.base_qualities.add_record(quals)
+        if self.track_tiles:
+            tile = self._tile_of(record)
+            self.tile_sequence_qualities[tile][mean_quality] += 1
+            self.tile_base_qualities.table_for(tile).add_record(quals)
 
-            quals = tile = None
+    def collect_batch(self, records):
+        """Vectorized collection of a whole record batch."""
+        if not records:
+            return
+        if self.qualities is None and records[0].qualities:
+            self.qualities = True
+            self._init_qualities()
 
-            if self.qualities:
-                quals = record.qualities
-                # round (not floor as in FastQC) of the mean read quality
-                meanqual = round(
-                    sum(ord(q) - self.quality_base for q in quals) / seqlen
+        seqs, quals, lengths = _encode_batch(records)
+        self.count += len(records)
+        self.sequence_lengths.add_vector(lengths)
+
+        nonempty = lengths > 0
+        if not nonempty.any():
+            return
+        width = seqs.shape[1]
+        valid = np.arange(width)[None, :] < lengths[:, None]
+        gc = (((seqs == ord("C")) | (seqs == ord("G"))) & valid).sum(axis=1)
+        live = lengths[nonempty]
+        gc_pct = np.rint(gc[nonempty] * 100 / live).astype(np.int64)
+        self.sequence_gc.add_vector(gc_pct)
+        self.bases.add_batch(seqs[nonempty], live)
+
+        if not (self.qualities and quals is not None):
+            return
+        quals = quals[nonempty]
+        sums = (quals * valid[nonempty]).sum(axis=1, dtype=np.int64)
+        mean_quality = np.rint(
+            (sums - live.astype(np.int64) * self.quality_base) / live
+        ).astype(np.int64)
+        for value in mean_quality:
+            self.sequence_qualities[int(value)] += 1
+        self.base_qualities.add_batch(quals, live)
+        if self.track_tiles:
+            kept = [r for r, keep in zip(records, nonempty) if keep]
+            for row, record in enumerate(kept):
+                tile = self._tile_of(record)
+                self.tile_sequence_qualities[tile][int(mean_quality[row])] += 1
+                self.tile_base_qualities.table_for(tile).add_record(
+                    quals[row, : live[row]]
                 )
-                self.sequence_qualities[meanqual] += 1
-                if self.track_tiles:
-                    tile_match = self.tile_key_regexp.match(record.name)
-                    if tile_match:
-                        tile = tile_match.group(1)
-                        self.tile_sequence_qualities[tile][meanqual] += 1
-                    else:
-                        raise ValueError(
-                            "{} did not match {}".format(
-                                self.tile_key_regexp, record.name
-                            )
-                        )
 
-            if quals:
-                for i, (base, qual) in enumerate(zip(seq, quals)):
-                    self.add_base(i, base, qual, tile)
-            else:
-                for i, base in enumerate(seq):
-                    self.add_base(i, base)
-
-    def collect(self, read1, read2=None):
-        raise NotImplementedError()
-
-    def add_base(self, i, base, qual=None, tile=None):
-        self.bases[i][base] += 1
-        if qual:
-            self.base_qualities[i][qual] += 1
-            if tile:
-                self.tile_base_qualities[i][tile][qual] += 1
-
-    def _extend_bases(self, new_size):
-        self.bases.extend(new_size)
-        if self.qualities:
-            self.base_qualities.extend(new_size)
-            if self.track_tiles:
-                self.tile_base_qualities.extend(new_size)
+    # -- rendering -----------------------------------------------------------
 
     def summarize(self):
         summary = dict(
@@ -248,9 +350,9 @@ class ReadStatistics:
             gc=self.sequence_gc.summarize(),
             bases=self.bases,
         )
-        if self.sequence_qualities:
+        if self.sequence_qualities is not None:
             summary["qualities"] = self.sequence_qualities
-        if self.base_qualities:
+        if self.base_qualities is not None:
             summary["base_qualities"] = self.base_qualities
         if self.track_tiles:
             summary["tile_base_qualities"] = self.tile_base_qualities
@@ -261,6 +363,11 @@ class ReadStatistics:
 class SingleEndReadStatistics(ReadStatistics):
     def collect(self, read1, read2=None):
         self.collect_record(read1)
+
+    def collect_batch(self, records):
+        super().collect_batch(
+            [r[0] if isinstance(r, tuple) else r for r in records]
+        )
 
     def summarize(self):
         return dict(read1=super().summarize())
@@ -274,6 +381,10 @@ class PairedEndReadStatistics:
     def collect(self, read1, read2):
         self.read1.collect_record(read1)
         self.read2.collect_record(read2)
+
+    def collect_batch(self, records):
+        self.read1.collect_batch([pair[0] for pair in records])
+        self.read2.collect_batch([pair[1] for pair in records])
 
     def summarize(self):
         return dict(read1=self.read1.summarize(), read2=self.read2.summarize())
