@@ -1,12 +1,16 @@
 """The 'error' command: estimate the empirical sequencing error rate.
 
-Behavior parity with the reference (``atropos/commands/error/__init__.py``).
-The quality-based estimator is a pure reduction (sum of per-base error
-probabilities), which the device engine computes as a psum over shards for
-pod-scale runs.
+Two estimators, as in the reference (``atropos/commands/error/__init__.py``):
+``quality`` converts base qualities to error probabilities and averages
+them (a pure sum reduction — vectorized here through a 256-entry
+probability lookup table, and a ``psum`` target at pod scale), and
+``shadow`` drives the R ShadowRegression package for a quality-independent
+estimate.
 """
-from collections import defaultdict
 import re
+from collections import Counter
+
+import numpy as np
 
 from atropos_tpu.commands.base import (
     BaseCommandRunner,
@@ -14,7 +18,7 @@ from atropos_tpu.commands.base import (
     Pipeline,
     SingleEndPipelineMixin,
 )
-from atropos_tpu.util import qual2prob, run_interruptible
+from atropos_tpu.util import run_interruptible
 
 
 class CommandRunner(BaseCommandRunner):
@@ -24,10 +28,10 @@ class CommandRunner(BaseCommandRunner):
         if not self.delivers_qualities:
             raise ValueError("Cannot estimate error rate without base qualities")
 
-        if self.algorithm == "quality":
-            estimator_class = BaseQualityErrorEstimator
-        elif self.algorithm == "shadow":
-            estimator_class = ShadowRegressionErrorEstimator
+        estimator_class = {
+            "quality": BaseQualityErrorEstimator,
+            "shadow": ShadowRegressionErrorEstimator,
+        }[self.algorithm]
 
         estimator_args = dict(max_read_len=self.max_bases)
         if self.paired:
@@ -38,18 +42,25 @@ class CommandRunner(BaseCommandRunner):
             estimator = estimator_class(**estimator_args)
 
         self.summary["errorrate"] = estimator_args
-
         self.summary.update(mode="serial", threads=1)
         return run_interruptible(estimator, self, raise_on_error=True)
 
 
 class ErrorEstimator(SingleEndPipelineMixin, Pipeline):
-    """Base class for error estimators."""
+    """Streams reads, accumulates, and produces (estimate, details)."""
 
     def __init__(self, max_read_len):
         super().__init__()
         self.total_len = 0
         self.max_read_len = max_read_len
+
+    def _clip(self, text):
+        """Truncate per --max-bases; returns (text, length)."""
+        length = len(text)
+        if self.max_read_len and self.max_read_len < length:
+            length = self.max_read_len
+            text = text[:length]
+        return text, length
 
     def handle_reads(self, context, read1, read2=None):
         raise NotImplementedError()
@@ -67,122 +78,128 @@ class ErrorEstimator(SingleEndPipelineMixin, Pipeline):
         )
 
 
+# phred char -> error probability, for every possible byte
+_PHRED_PROB = 10.0 ** (-(np.arange(256) - 33) / 10.0)
+
+
 class BaseQualityErrorEstimator(ErrorEstimator):
-    """Error estimation from base qualities (known to overestimate)."""
+    """Mean per-base error probability implied by the quality string.
+
+    Known to overestimate the true error rate (qualities are calibrated
+    pessimistically), but needs no second pass.
+    """
 
     def __init__(self, max_read_len=None):
         super().__init__(max_read_len)
         self.total_qual = 0.0
 
     def handle_reads(self, context, read1, read2=None):
-        quals = read1.qualities
-        readlen = len(quals)
-        if self.max_read_len and self.max_read_len < readlen:
-            readlen = self.max_read_len
-            quals = quals[:readlen]
-        self.total_qual += sum(qual2prob(qchar) for qchar in quals)
+        quals, readlen = self._clip(read1.qualities)
+        codes = np.frombuffer(quals.encode("ascii"), np.uint8)
+        self.total_qual += float(_PHRED_PROB[codes].sum())
         self.total_len += readlen
 
     def estimate(self):
         return (self.total_qual / self.total_len, None)
 
 
+#: reads that are homopolymer runs or contain any N are uninformative
 FILTER_RE = re.compile("A+|C+|G+|T+|.*N.*")
+
+_R_SCRIPT = """\
+library(ShadowRegression)
+errorRates = getErrorRates("{reads}", type="{method}")
+write.table(errorRates$perReadER, "{per_read}", sep="\\t", quote=F, \
+col.names=F, row.names=T)
+write.table(errorRates$cycleER, "{per_cycle}", sep="\\t", quote=F, \
+col.names=F, row.names=T)
+"""
 
 
 class ShadowRegressionErrorEstimator(ErrorEstimator):
-    """Shadow-regression error estimation (Wang et al. 2012).
+    """Shadow-regression estimation (Wang et al. 2012) via Rscript.
 
-    Like the reference, this shells out to the R ShadowRegression package;
-    it exists for CLI parity and raises a clear error when R is
-    unavailable.
+    Exists for CLI parity with the reference; raises a clear error when
+    the R environment is unavailable.
     """
 
     def __init__(self, method="sub", max_read_len=None, rscript_exe="Rscript"):
         super().__init__(max_read_len)
-        self.seqs = defaultdict(lambda: 0)
+        self.seqs = Counter()
         self.method = method
         self.rscript_exe = rscript_exe
 
     def handle_reads(self, context, read1, read2=None):
-        seq = read1.sequence
-        readlen = len(seq)
-        if self.max_read_len and self.max_read_len < readlen:
-            readlen = self.max_read_len
-            seq = seq[:readlen]
+        seq, readlen = self._clip(read1.sequence)
         if FILTER_RE.fullmatch(seq):
             return
         self.seqs[seq] += 1
         self.total_len += readlen
 
+    def _run_rscript(self, read_counts, per_read, per_cycle, script_file):
+        import subprocess
+
+        from atropos_tpu import AtroposError
+
+        with open(script_file, "wt") as out:
+            out.write(
+                _R_SCRIPT.format(
+                    reads=read_counts,
+                    method=self.method,
+                    per_read=per_read,
+                    per_cycle=per_cycle,
+                )
+            )
+        proc = subprocess.Popen(
+            [self.rscript_exe, "--vanilla", script_file],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        with proc:
+            stdout, stderr = proc.communicate()
+        if proc.returncode != 0:
+            raise AtroposError(
+                "R script failed: rc={}; stdout={}; stderr={}".format(
+                    proc.returncode, stdout, stderr
+                )
+            )
+
     def estimate(self):
         import csv
         import os
-        import subprocess
         import tempfile
 
         from atropos_tpu import AtroposError
 
-        script_template = (
-            'library(ShadowRegression)\n'
-            'errorRates = getErrorRates("{reads}", type="{method}")\n'
-            'write.table(errorRates$perReadER, "{per_read}", sep="\\t", '
-            "quote=F, col.names=F, row.names=T)\n"
-            'write.table(errorRates$cycleER, "{per_cycle}", sep="\\t", '
-            "quote=F, col.names=F, row.names=T)\n"
-        )
-        tempfiles = tuple(tempfile.mkstemp()[1] for _ in range(4))
-        read_counts, per_read, per_cycle, script_file = tempfiles
+        scratch = tuple(tempfile.mkstemp()[1] for _ in range(4))
+        read_counts, per_read, per_cycle, script_file = scratch
         try:
             with open(read_counts, "wt") as out:
-                writer = csv.writer(out, delimiter=" ")
-                writer.writerows(
+                csv.writer(out, delimiter=" ").writerows(
                     sorted(self.seqs.items(), reverse=True, key=lambda i: i[1])
                 )
-            with open(script_file, "wt") as out:
-                out.write(
-                    script_template.format(
-                        reads=read_counts,
-                        method=self.method,
-                        per_read=per_read,
-                        per_cycle=per_cycle,
-                    )
-                )
-            proc = subprocess.Popen(
-                [self.rscript_exe, "--vanilla", script_file],
-                stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE,
-            )
-            with proc:
-                stdout, stderr = proc.communicate()
-                if proc.returncode != 0:
-                    raise AtroposError(
-                        "R script failed: rc={}; stdout={}; stderr={}".format(
-                            proc.returncode, stdout, stderr
-                        )
-                    )
+            self._run_rscript(read_counts, per_read, per_cycle, script_file)
             with open(per_read, "rt") as infile:
-                reader = csv.reader(infile, delimiter="\t")
-                per_read_error = dict(reader)
-                if len(per_read_error) != 4:
-                    raise AtroposError("Invalid output from R script")
+                per_read_error = dict(csv.reader(infile, delimiter="\t"))
+            if len(per_read_error) != 4:
+                raise AtroposError("Invalid output from R script")
             with open(per_cycle, "rt") as infile:
-                reader = csv.reader(infile, delimiter="\t")
-                per_cycle_error = list(row[0:3] for row in reader)
-                if not per_cycle_error:
-                    raise AtroposError("Invalid output from R script")
-
+                per_cycle_error = [
+                    row[0:3] for row in csv.reader(infile, delimiter="\t")
+                ]
+            if not per_cycle_error:
+                raise AtroposError("Invalid output from R script")
             return (
                 per_read_error["error rate"],
                 dict(per_read=per_read_error, per_cycle=per_cycle_error),
             )
         finally:
-            for path in tempfiles:
+            for path in scratch:
                 os.remove(path)
 
 
 class PairedErrorEstimator(PairedEndPipelineMixin, Pipeline):
-    """Estimator over both reads of a pair."""
+    """Runs an independent estimator per mate."""
 
     def __init__(self, estimator_class=BaseQualityErrorEstimator, **kwargs):
         super().__init__()
