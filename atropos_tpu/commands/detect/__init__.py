@@ -1,26 +1,23 @@
-"""The 'detect' command: find adapter sequences directly from reads.
+"""The 'detect' command: discover adapter/contaminant sequences in reads.
 
-Three detectors with behavior parity to the reference
-(``atropos/commands/detect/__init__.py``):
+Three detection algorithms (behavioral model:
+``atropos/commands/detect/__init__.py``), all driven by the packed-k-mer
+engine in :mod:`.kmers` instead of per-slice Python dicts:
 
-- **known**: match reads against a known-contaminant list by k-mer set
-  intersection (forward and reverse complement);
-- **heuristic**: iteratively grow over-represented k-mers (k, k+1, ...)
-  and merge by containment, then verify candidates against known
-  contaminants with a no-indel semi-global alignment;
-- **kmer**: fast single-pass k-mer counting. The reference delegates to
-  the external ``khmer`` Countgraph; this build uses khmer when
-  importable and otherwise an exact in-process counter with the same
-  thresholding (exact counts make it strictly more precise).
-
-The k-mer counting inner loops are also expressible as device segment
-sums (pack k-mers into int32 keys); the host implementation remains the
-behavioral authority.
+- **known**: score reads against a known-contaminant list by k-mer set
+  intersection in both orientations;
+- **heuristic**: grow over-represented k-mers (k, k+1, ...) until none
+  remain, merge candidates by containment, then identify them against
+  the known list with k-mer scoring plus a no-indel semi-global
+  alignment check;
+- **kmer** ('khmer'): single-pass k-mer frequency scan — the khmer
+  Countgraph when importable, otherwise an exact packed counter with the
+  same over-representation threshold.
 """
-from collections import defaultdict
 import logging
 import math
 import re
+from collections import defaultdict
 
 from atropos_tpu.align import Aligner, SEMIGLOBAL
 from atropos_tpu.commands.base import (
@@ -29,6 +26,11 @@ from atropos_tpu.commands.base import (
     Pipeline,
     SingleEndPipelineMixin,
 )
+from atropos_tpu.commands.detect.kmers import (
+    count_corpus,
+    intersection_size,
+    packed_kmer_set,
+)
 from atropos_tpu.util import (
     reverse_complement,
     run_interruptible,
@@ -36,85 +38,22 @@ from atropos_tpu.util import (
 )
 
 
-class CommandRunner(BaseCommandRunner):
-    name = "detect"
-
-    def __call__(self):
-        kmer_size = self.kmer_size or 12
-        n_reads = self.max_reads
-        overrep_cutoff = 100
-        include = self.include_contaminants or "all"
-        known_contaminants = None
-        if include != "unknown":
-            known_contaminants = self.load_known_adapters()
-
-        detector = self.detector
-        if not detector:
-            if known_contaminants and include == "known":
-                detector = "known"
-            elif n_reads <= 50000:
-                detector = "heuristic"
-            else:
-                detector = "khmer"
-
-        detector_args = dict(known_contaminants=known_contaminants)
-
-        if detector == "known":
-            logging.getLogger().debug(
-                "Detecting contaminants using the known-only algorithm"
-            )
-            detector_class = KnownContaminantDetector
-            detector_args["min_kmer_match_frac"] = self.min_kmer_match_frac
-        elif detector == "heuristic":
-            logging.getLogger().debug(
-                "Detecting contaminants using the heuristic algorithm"
-            )
-            detector_class = HeuristicDetector
-            detector_args["min_frequency"] = self.min_frequency
-            detector_args["min_contaminant_match_frac"] = (
-                self.min_contaminant_match_frac
-            )
-        elif detector == "khmer":
-            logging.getLogger().debug(
-                "Detecting contaminants using the kmer-based algorithm"
-            )
-            detector_class = KhmerDetector
-        else:
-            raise ValueError("Invalid value for 'detector': {}".format(detector))
-
-        summary_args = dict(
-            kmer_size=kmer_size,
-            n_reads=n_reads,
-            overrep_cutoff=overrep_cutoff,
-            include=include,
-            past_end_bases=self.past_end_bases,
-        )
-        detector_args.update(summary_args)
-
-        if self.paired:
-            detector = PairedDetector(detector_class, **detector_args)
-        else:
-            detector = detector_class(**detector_args)
-
-        self.summary["detect"] = summary_args
-        if known_contaminants:
-            self.summary["detect"]["known_contaminants"] = (
-                known_contaminants.summarize()
-            )
-
-        logging.getLogger().info(
-            "Detecting adapters and other potential contaminant "
-            "sequences based on %d-mers in %d reads",
-            kmer_size,
-            n_reads,
-        )
-
-        self.summary.update(mode="serial", threads=1)
-        return run_interruptible(detector, self, raise_on_error=True)
+def align(seq1, seq2, min_overlap_frac=0.9):
+    """Mismatch-only semi-global check that ``seq2`` overlaps ``seq1``
+    well enough; returns the matched slice of seq1 or None."""
+    aligner = Aligner(seq1, 0.0, SEMIGLOBAL, False, False)
+    aligner.min_overlap = math.ceil(
+        min(len(seq1), len(seq2)) * min_overlap_frac
+    )
+    aligner.indel_cost = 100000
+    found = aligner.locate(seq2)
+    if found:
+        return seq1[found[0] : found[1]]
+    return None
 
 
 class Match:
-    """A contaminant match (candidate sequence + evidence)."""
+    """A detected contaminant: candidate sequence + supporting evidence."""
 
     def __init__(
         self,
@@ -148,7 +87,9 @@ class Match:
 
     def __repr__(self):
         if self.is_known:
-            return "{} => {} ({}))".format(self.seq, self.names, self.known_seqs)
+            return "{} => {} ({}))".format(
+                self.seq, self.names, self.known_seqs
+            )
         return self.seq
 
     @property
@@ -159,6 +100,10 @@ class Match:
     def count_is_frequency(self):
         return isinstance(self.count, float)
 
+    @property
+    def is_known(self):
+        return self.known_seqs is not None
+
     def set_contaminant(self, contam, match_frac, match_frac2=None):
         self.set_known(contam.names, [contam.seq], match_frac, match_frac2)
 
@@ -168,16 +113,12 @@ class Match:
         self.match_frac = match_frac
         self.match_frac2 = match_frac2
 
-    @property
-    def is_known(self):
-        return self.known_seqs is not None
-
     def set_longest_match(self, sequences):
         for seq in sequences:
-            idx = seq.index(self.seq)
-            seqlen = len(self.seq) - idx
-            if self.longest_match is None or self.longest_match[1] < seqlen:
-                self.longest_match = (seq[idx:], seqlen)
+            start = seq.index(self.seq)
+            span = len(self.seq) - start
+            if self.longest_match is None or self.longest_match[1] < span:
+                self.longest_match = (seq[start:], span)
 
     def estimate_abundance(self, read_sequences):
         self.abundance = sum(
@@ -188,7 +129,9 @@ class Match:
         summary = dict(
             longest_kmer=self.seq,
             kmer_freq=self.count,
-            kmer_freq_type="frequency" if self.count_is_frequency else "count",
+            kmer_freq_type=(
+                "frequency" if self.count_is_frequency else "count"
+            ),
             abundance=self.abundance,
             is_known=self.is_known,
             known_to_contaminant_match_frac=None,
@@ -210,49 +153,50 @@ class Match:
 
 
 class ContaminantMatcher:
-    """k-mer set matcher for one known contaminant."""
+    """k-mer set scorer for one known contaminant.
+
+    Scoring compares the contaminant's k-mer set against a read's, in
+    whichever orientation matches better; packed codes make the
+    intersection an array operation.
+    """
 
     def __init__(self, seq, names, kmer_size):
         self.seq = seq
         self.names = names
+        self.kmer_size = kmer_size
         self.kmers = set(
-            seq[i : (i + kmer_size)] for i in range(len(seq) - kmer_size + 1)
+            seq[i : i + kmer_size] for i in range(len(seq) - kmer_size + 1)
         )
         self.n_kmers = len(self.kmers)
-        self.kmer_size = kmer_size
         self.matches = 0
+        self._packed = packed_kmer_set(seq, kmer_size)
 
-    def match(self, seq, seqrc):
-        """Returns (frac of contaminant kmers matching, frac of sequence
-        kmers matching, best orientation sequence)."""
-        fw_kmers = set(
-            seq[i : (i + self.kmer_size)]
-            for i in range(len(seq) - self.kmer_size + 1)
+    def _side_score(self, text, packed):
+        """(intersection size, number of distinct k-mers in text)."""
+        if self._packed is not None and packed is not None:
+            return (
+                float(intersection_size(self._packed, packed)),
+                packed.shape[0],
+            )
+        window = set(
+            text[i : i + self.kmer_size]
+            for i in range(len(text) - self.kmer_size + 1)
         )
-        fw_matches = float(len(self.kmers & fw_kmers))
+        return float(len(self.kmers & window)), len(window)
 
-        rv_kmers = set(
-            seqrc[i : (i + self.kmer_size)]
-            for i in range(len(seqrc) - self.kmer_size + 1)
-        )
-        rv_matches = float(len(self.kmers & rv_kmers))
-
-        if fw_matches >= rv_matches:
-            n_matches = fw_matches
-            kmers = fw_kmers
-            compare_seq = seq
+    def match(self, seq, seqrc, packed_fw=None, packed_rv=None):
+        """(frac of contaminant k-mers hit, frac of read k-mers hit,
+        best-orientation sequence)."""
+        fw_hits, fw_total = self._side_score(seq, packed_fw)
+        rv_hits, rv_total = self._side_score(seqrc, packed_rv)
+        if fw_hits >= rv_hits:
+            hits, total, oriented = fw_hits, fw_total, seq
         else:
-            n_matches = rv_matches
-            kmers = rv_kmers
-            compare_seq = seqrc
-
-        self.matches += n_matches
-        match_frac1 = match_frac2 = 0
-        if self.n_kmers > 0:
-            match_frac1 = n_matches / self.n_kmers
-        if len(kmers) > 0:
-            match_frac2 = n_matches / len(kmers)
-        return match_frac1, match_frac2, compare_seq
+            hits, total, oriented = rv_hits, rv_total, seqrc
+        self.matches += hits
+        frac_of_contam = hits / self.n_kmers if self.n_kmers else 0
+        frac_of_read = hits / total if total else 0
+        return frac_of_contam, frac_of_read, oriented
 
 
 def create_contaminant_matchers(contaminants, kmer_size):
@@ -262,8 +206,11 @@ def create_contaminant_matchers(contaminants, kmer_size):
     ]
 
 
+# -- detectors -------------------------------------------------------------------
+
+
 class Detector(SingleEndPipelineMixin, Pipeline):
-    """Base class for contaminant detectors."""
+    """Shared streaming/filtering/reporting logic of all detectors."""
 
     def __init__(
         self,
@@ -283,17 +230,21 @@ class Detector(SingleEndPipelineMixin, Pipeline):
         self._read_length = None
         self._read_sequences = set()
         self._matches = None
-        self._past_end_regexp = None
-        if past_end_bases:
-            if len(past_end_bases[0]) > 1:
-                self._past_end_regexp = re.compile(past_end_bases[0])
-            else:
-                self._past_end_regexp = re.compile(
-                    "|".join(
-                        base + "{8,}.*|" + base + "{2,}$"
-                        for base in past_end_bases
-                    )
-                )
+        self._past_end_regexp = self._compile_past_end(past_end_bases)
+
+    @staticmethod
+    def _compile_past_end(past_end_bases):
+        """Reads sequenced past the template end show base runs (usually
+        A); build the pattern that strips them."""
+        if not past_end_bases:
+            return None
+        if len(past_end_bases[0]) > 1:
+            return re.compile(past_end_bases[0])
+        return re.compile(
+            "|".join(
+                base + "{8,}.*|" + base + "{2,}$" for base in past_end_bases
+            )
+        )
 
     @property
     def min_report_freq(self):
@@ -319,15 +270,24 @@ class Detector(SingleEndPipelineMixin, Pipeline):
         if sequence_complexity(seq) <= 1.0:
             return None
         if self._past_end_regexp:
-            match = self._past_end_regexp.search(seq)
-            if match:
-                seq = seq[: match.start()]
+            hit = self._past_end_regexp.search(seq)
+            if hit:
+                seq = seq[: hit.start()]
         if len(seq) < self.kmer_size:
             return None
         return seq
 
+    def _overrep_threshold(self, kmer_size):
+        """Expected chance occurrences of one k-mer, times the cutoff."""
+        return (
+            self.n_reads
+            * (self._read_length - kmer_size + 1)
+            * self.overrep_cutoff
+            / float(4 ** kmer_size)
+        )
+
     def matches(self, **kwargs):
-        if self._matches is None or len(kwargs) > 0:
+        if self._matches is None or kwargs:
             self._filter_and_sort(**kwargs)
         return self._matches
 
@@ -336,38 +296,32 @@ class Detector(SingleEndPipelineMixin, Pipeline):
     ):
         if min_len is None:
             min_len = self.kmer_size
-
-        matches = self._get_contaminants()
-
-        for match in matches:
+        candidates = self._get_contaminants()
+        for match in candidates:
             match.estimate_abundance(self._read_sequences)
 
-        def _filter(_match):
-            if _match.count < self.min_report_freq:
+        def keep(match):
+            if match.count < self.min_report_freq:
                 return False
-            if min_len and len(_match) < min_len:
+            if min_len and len(match) < min_len:
                 return False
-            if min_complexity and _match.seq_complexity < min_complexity:
+            if min_complexity and match.seq_complexity < min_complexity:
                 return False
-            if self.include == "known" and not _match.is_known:
+            if self.include == "known" and not match.is_known:
                 return False
-            elif self.include == "unknown" and _match.is_known:
+            if self.include == "unknown" and match.is_known:
                 return False
             if (
                 min_match_frac
-                and _match.is_known
-                and _match.match_frac < min_match_frac
+                and match.is_known
+                and match.match_frac < min_match_frac
             ):
                 return False
             return True
 
-        matches = list(filter(_filter, matches))
-        matches.sort(key=lambda x: len(x) * math.log(x.count), reverse=True)
-
-        if limit is not None:
-            matches = matches[:limit]
-
-        self._matches = matches
+        kept = [match for match in candidates if keep(match)]
+        kept.sort(key=lambda m: len(m) * math.log(m.count), reverse=True)
+        self._matches = kept[:limit] if limit is not None else kept
 
     def _get_contaminants(self):
         raise NotImplementedError()
@@ -380,7 +334,7 @@ class Detector(SingleEndPipelineMixin, Pipeline):
 
 
 class PairedDetector(PairedEndPipelineMixin, Pipeline):
-    """Runs one detector per mate."""
+    """Independent detector per mate."""
 
     def __init__(self, detector_class, **kwargs):
         super().__init__()
@@ -405,13 +359,13 @@ class PairedDetector(PairedEndPipelineMixin, Pipeline):
     def finish(self, summary, **kwargs):
         super().finish(summary)
         summary["detect"]["matches"] = (
-            [match.summarize() for match in self.read1_detector.matches(**kwargs)],
-            [match.summarize() for match in self.read2_detector.matches(**kwargs)],
+            [m.summarize() for m in self.read1_detector.matches(**kwargs)],
+            [m.summarize() for m in self.read2_detector.matches(**kwargs)],
         )
 
 
 class KnownContaminantDetector(Detector):
-    """Match reads against known contaminants only (linear complexity)."""
+    """Only report known contaminants (linear in reads)."""
 
     def __init__(self, known_contaminants, min_kmer_match_frac=0.5, **kwargs):
         super().__init__(known_contaminants=known_contaminants, **kwargs)
@@ -429,20 +383,22 @@ class KnownContaminantDetector(Detector):
         return None
 
     def _get_contaminants(self):
-        contaminant_matchers = create_contaminant_matchers(
+        matchers = create_contaminant_matchers(
             self.known_contaminants, self.kmer_size
         )
-        counts = defaultdict(int)
-        max_match_fracs = defaultdict(int)
+        hit_counts = defaultdict(int)
+        best_fracs = defaultdict(int)
 
         for seq in self._read_sequences:
             seqrc = reverse_complement(seq)
-            for contam in contaminant_matchers:
-                match = contam.match(seq, seqrc)
-                if match[0] > self.min_kmer_match_frac:
-                    counts[contam] += 1
-                    if match[0] > max_match_fracs[contam]:
-                        max_match_fracs[contam] = match[0]
+            packed_fw = packed_kmer_set(seq, self.kmer_size)
+            packed_rv = packed_kmer_set(seqrc, self.kmer_size)
+            for matcher in matchers:
+                frac, _, _ = matcher.match(seq, seqrc, packed_fw, packed_rv)
+                if frac > self.min_kmer_match_frac:
+                    hit_counts[matcher] += 1
+                    if frac > best_fracs[matcher]:
+                        best_fracs[matcher] = frac
 
         min_count = math.ceil(
             self.n_reads
@@ -450,19 +406,19 @@ class KnownContaminantDetector(Detector):
             * self.overrep_cutoff
             / float(4 ** self._min_k)
         )
-
         return [
             Match(
-                c[0],
-                match_frac=max_match_fracs[c[0]],
-                abundance=float(c[1]) / self.n_reads,
+                matcher,
+                match_frac=best_fracs[matcher],
+                abundance=float(count) / self.n_reads,
             )
-            for c in filter(lambda x: x[1] >= min_count, counts.items())
+            for matcher, count in hit_counts.items()
+            if count >= min_count
         ]
 
 
 class HeuristicDetector(Detector):
-    """Iterative k-mer-growth detector (most accurate, quadratic)."""
+    """Grow-and-merge k-mer detector (most accurate, superlinear)."""
 
     def __init__(
         self, min_frequency=0.001, min_contaminant_match_frac=0.9, **kwargs
@@ -475,187 +431,178 @@ class HeuristicDetector(Detector):
     def min_report_freq(self):
         return 0.1 * self.n_reads
 
-    def _get_contaminants(self):
-        def _min_count(_kmer_size):
-            return math.ceil(
-                self.n_reads
-                * max(
-                    self.min_frequency,
-                    (self._read_length - _kmer_size + 1)
-                    * self.overrep_cutoff
-                    / float(4 ** _kmer_size),
-                )
+    def _min_count(self, kmer_size):
+        return math.ceil(
+            self.n_reads
+            * max(
+                self.min_frequency,
+                (self._read_length - kmer_size + 1)
+                * self.overrep_cutoff
+                / float(4 ** kmer_size),
             )
+        )
 
+    def _grow_overrepresented(self):
+        """Lengthen over-represented k-mers until none survive; returns
+        {kmer: count} of maximal over-represented k-mers plus the sets of
+        source sequences per k-mer."""
         kmer_size = self.kmer_size
-        kmers = defaultdict(lambda: [0, set()])
-
-        for seq in self._read_sequences:
-            for i in range(len(seq) - kmer_size + 1):
-                kmer = seq[i : (i + kmer_size)]
-                kmers[kmer][0] += 1
-                kmers[kmer][1].add(seq)
-
+        table = count_corpus(
+            self._read_sequences, kmer_size, with_membership=True
+        )
+        min_count = self._min_count(kmer_size)
         prev = None
-        cur = {}
         results = {}
         result_seqs = defaultdict(set)
-        min_count = _min_count(kmer_size)
 
-        # grow k until no k-mer is over-represented
         while True:
-            all_seqs = set()
-            for kmer, (count, seqs) in kmers.items():
+            survivors = {}
+            covered = set()
+            for kmer, (count, seqs) in table.items():
                 if count > min_count:
-                    cur[kmer] = (count, seqs)
-                    all_seqs.update(seqs)
-
-            if len(all_seqs) == 0:
+                    survivors[kmer] = (count, seqs)
+                    covered.update(seqs)
+            if not covered:
                 break
-
             if prev:
+                # a k-mer whose source sequences produced no surviving
+                # (k+1)-mer is maximal: record it
                 for kmer, (count, seqs) in prev.items():
                     if (
-                        not any(seq in cur for seq in seqs)
+                        not any(seq in survivors for seq in seqs)
                         and sequence_complexity(kmer) > 1.0
                     ):
                         results[kmer] = count
                         result_seqs[kmer].update(seqs)
-
             kmer_size += 1
-            kmers = defaultdict(lambda: [0, set()])
-            for seq in all_seqs:
-                for i in range(len(seq) - kmer_size + 1):
-                    kmer = seq[i : (i + kmer_size)]
-                    kmers[kmer][0] += 1
-                    kmers[kmer][1].add(seq)
+            table = count_corpus(covered, kmer_size, with_membership=True)
+            min_count = self._min_count(kmer_size)
+            prev = survivors
+        return results, result_seqs
 
-            min_count = _min_count(kmer_size)
-            prev = cur
-            cur = {}
-
-        results = list(results.items())
-
-        # merge overlapping candidates by containment
-        results.sort(key=lambda r: len(r[0]) * math.log(r[1]), reverse=True)
+    @staticmethod
+    def _merge_by_containment(results):
+        """Combine candidates where one contains the other, repeatedly
+        taking the current best-scoring candidate as the anchor."""
         merged = []
-        unmerged = []
+        pending = []
         while len(results) > 1:
-            seq1, count1 = results[0]
-            for j in range(1, len(results)):
-                seq2, count2 = results[j]
-                if len(seq1) >= len(seq2) and seq2 in seq1:
-                    count1 += count2
-                elif seq1 in seq2:
-                    if count1 < (2 * count2):
-                        seq1 = seq2
-                    count1 += count2
+            anchor_seq, anchor_count = results[0]
+            for other_seq, other_count in results[1:]:
+                if len(anchor_seq) >= len(other_seq) and other_seq in anchor_seq:
+                    anchor_count += other_count
+                elif anchor_seq in other_seq:
+                    if anchor_count < 2 * other_count:
+                        anchor_seq = other_seq
+                    anchor_count += other_count
                 else:
-                    unmerged.append(results[j])
-            merged.append([seq1, count1])
-            results = unmerged
-            unmerged = []
-        results = merged + results
+                    pending.append((other_seq, other_count))
+            merged.append([anchor_seq, anchor_count])
+            results = pending
+            pending = []
+        return merged + results
 
-        if len(results) == 0:
+    def _get_contaminants(self):
+        results, result_seqs = self._grow_overrepresented()
+        results = sorted(
+            results.items(),
+            key=lambda r: len(r[0]) * math.log(r[1]),
+            reverse=True,
+        )
+        results = self._merge_by_containment(results)
+        if not results:
             return []
 
         results.sort(key=lambda r: r[1], reverse=True)
-        # keep candidates within 50% of the top hit
-        min_count = int(results[0][1] * 0.5)
-        results = (x for x in results if x[1] >= min_count)
+        floor = int(results[0][1] * 0.5)  # within 50% of the best hit
         matches = [
-            Match(x[0], count=x[1], reads=result_seqs[x[0]]) for x in results
+            Match(seq, count=count, reads=result_seqs[seq])
+            for seq, count in results
+            if count >= floor
         ]
-
         if self.known_contaminants:
-            contaminants = create_contaminant_matchers(
-                self.known_contaminants, self.kmer_size
-            )
-            known = {}
-            unknown = []
-
-            def find_best_match(_seq, _best_matches, _best_match_frac):
-                seqrc = reverse_complement(_seq)
-                for _contam in contaminants:
-                    match_frac1, match_frac2, compare_seq = _contam.match(
-                        _seq, seqrc
-                    )
-                    if match_frac1 < _best_match_frac[0]:
-                        continue
-                    if _contam.seq in compare_seq or align(
-                        compare_seq, _contam.seq, self.min_contaminant_match_frac
-                    ):
-                        if match_frac1 > _best_match_frac[0] or (
-                            match_frac1 == _best_match_frac[0]
-                            and match_frac2 > _best_match_frac[1]
-                        ):
-                            _best_matches = {}
-                            _best_match_frac = (match_frac1, match_frac2)
-                        _best_matches[_contam] = (
-                            match,
-                            (match_frac1, match_frac2),
-                        )
-                return _best_matches, _best_match_frac
-
-            for match in matches:
-                best_matches, best_match_frac = find_best_match(
-                    match.seq, {}, (self.min_contaminant_match_frac, 0)
-                )
-
-                if match.longest_match:
-                    best_matches, best_match_frac = find_best_match(
-                        match.longest_match[0], best_matches, best_match_frac
-                    )
-
-                if best_matches:
-                    for contam, _match in best_matches.items():
-                        if contam not in known or _match[1] > known[contam][1]:
-                            known[contam] = _match
-                else:
-                    unknown.append(match)
-
-            # resolve many-to-many contaminant<->candidate relationships
-            new_matches = defaultdict(lambda: [])
-            for contam, (match, match_frac) in known.items():
-                new_matches[match].append((contam, match_frac))
-
-            known = []
-            for match, contams in new_matches.items():
-                if len(contams) == 1:
-                    contam, match_frac = contams[0]
-                    match.set_contaminant(contam, *match_frac)
-                else:
-                    contams.sort(key=lambda x: x[1], reverse=True)
-                    contam, match_frac = contams[0]
-                    equiv = [
-                        other_contam
-                        for other_contam in contams[1:]
-                        if other_contam[1] == match_frac
-                    ]
-                    if len(equiv) == 0:
-                        match.set_contaminant(contam, *match_frac)
-                    else:
-                        names = set(contam.names)
-                        seqs = {(contam.seq,)}
-                        for other_contam in equiv:
-                            names.update(other_contam[0].names)
-                            seqs.add(other_contam[0].seq)
-                        match.set_known(list(names), list(seqs), *match_frac)
-                known.append(match)
-
-            matches = known + unknown
-
+            matches = self._identify_known(matches)
         return matches
+
+    def _identify_known(self, matches):
+        """Attach known-contaminant identities to candidates; candidates
+        matching nothing stay 'unknown'."""
+        matchers = create_contaminant_matchers(
+            self.known_contaminants, self.kmer_size
+        )
+        by_contaminant = {}
+        unknown = []
+
+        def scan(text, best, best_frac, match):
+            seqrc = reverse_complement(text)
+            packed_fw = packed_kmer_set(text, self.kmer_size)
+            packed_rv = packed_kmer_set(seqrc, self.kmer_size)
+            for matcher in matchers:
+                frac1, frac2, oriented = matcher.match(
+                    text, seqrc, packed_fw, packed_rv
+                )
+                if frac1 < best_frac[0]:
+                    continue
+                verified = matcher.seq in oriented or align(
+                    oriented, matcher.seq, self.min_contaminant_match_frac
+                )
+                if not verified:
+                    continue
+                if frac1 > best_frac[0] or (
+                    frac1 == best_frac[0] and frac2 > best_frac[1]
+                ):
+                    best = {}
+                    best_frac = (frac1, frac2)
+                best[matcher] = (match, (frac1, frac2))
+            return best, best_frac
+
+        for match in matches:
+            best, best_frac = scan(
+                match.seq, {}, (self.min_contaminant_match_frac, 0), match
+            )
+            if match.longest_match:
+                best, best_frac = scan(
+                    match.longest_match[0], best, best_frac, match
+                )
+            if best:
+                for matcher, entry in best.items():
+                    if (
+                        matcher not in by_contaminant
+                        or entry[1] > by_contaminant[matcher][1]
+                    ):
+                        by_contaminant[matcher] = entry
+            else:
+                unknown.append(match)
+
+        # invert: collect all contaminants claiming each candidate
+        claims = defaultdict(list)
+        for matcher, (match, frac) in by_contaminant.items():
+            claims[match].append((matcher, frac))
+
+        identified = []
+        for match, contams in claims.items():
+            contams.sort(key=lambda c: c[1], reverse=True)
+            top, top_frac = contams[0]
+            ties = [c for c in contams[1:] if c[1] == top_frac]
+            if not ties:
+                match.set_contaminant(top, *top_frac)
+            else:
+                names = set(top.names)
+                seqs = {(top.seq,)}
+                for other, _ in ties:
+                    names.update(other.names)
+                    seqs.add(other.seq)
+                match.set_known(list(names), list(seqs), *top_frac)
+            identified.append(match)
+        return identified + unknown
 
 
 class KhmerDetector(Detector):
     """Single-pass k-mer frequency detector.
 
-    Uses the khmer Countgraph when available (reference behavior);
-    otherwise an exact in-process counter with the same over-representation
-    threshold.
-    """
+    Matches the reference's khmer Countgraph behavior when khmer is
+    importable; otherwise counts exactly with the packed engine (exact
+    counts are strictly more precise than the Countgraph's)."""
 
     @property
     def min_report_freq(self):
@@ -673,88 +620,141 @@ class KhmerDetector(Detector):
             )
 
         candidates = self._count_candidates(tablesize, min_count)
-
-        if self.known_contaminants:
-            matches = []
-            seen = set()
-
-            def match(_kmer):
-                freq = candidates.get(_kmer, 0)
-                if freq > 0:
-                    seen.add(_kmer)
-                return freq
-
-            for seq, names in self.known_contaminants.iter_sequences():
-                seqlen = len(seq)
-                if seqlen < self.kmer_size:
-                    continue
-                n_kmers = seqlen - self.kmer_size + 1
-                num_matches = 0
-                match_counts = []
-                for idx in range(n_kmers):
-                    kmer = seq[idx : (idx + self.kmer_size)]
-                    kmer_count = max(match(kmer), match(reverse_complement(kmer)))
-                    if kmer_count > 0:
-                        num_matches += 1
-                        match_counts.append(kmer_count)
-
-                if num_matches > 0:
-                    overall_count = sum(match_counts) / float(n_kmers)
-                    matches.append(
-                        Match(
-                            seq,
-                            count=overall_count / float(tablesize),
-                            names=names,
-                            match_frac=float(num_matches) / n_kmers,
-                        )
-                    )
-
-            for tag in set(candidates.keys()) - seen:
-                matches.append(Match(tag, count=candidates[tag] / float(tablesize)))
-        else:
-            matches = [
-                Match(tag, count=count / float(tablesize))
-                for tag, count in candidates.items()
+        if not self.known_contaminants:
+            return [
+                Match(kmer, count=count / float(tablesize))
+                for kmer, count in candidates.items()
             ]
 
+        matches = []
+        seen = set()
+
+        def frequency(kmer):
+            count = candidates.get(kmer, 0)
+            if count > 0:
+                seen.add(kmer)
+            return count
+
+        for seq, names in self.known_contaminants.iter_sequences():
+            if len(seq) < self.kmer_size:
+                continue
+            n_kmers = len(seq) - self.kmer_size + 1
+            hits = []
+            for start in range(n_kmers):
+                kmer = seq[start : start + self.kmer_size]
+                count = max(frequency(kmer), frequency(reverse_complement(kmer)))
+                if count > 0:
+                    hits.append(count)
+            if hits:
+                matches.append(
+                    Match(
+                        seq,
+                        count=(sum(hits) / float(n_kmers)) / float(tablesize),
+                        names=names,
+                        match_frac=float(len(hits)) / n_kmers,
+                    )
+                )
+        for kmer in set(candidates) - seen:
+            matches.append(Match(kmer, count=candidates[kmer] / float(tablesize)))
         return matches
 
     def _count_candidates(self, tablesize, min_count):
         try:
             from khmer import Countgraph, khmer_args
         except ImportError:
-            return self._count_candidates_exact(min_count)
-
+            counts = count_corpus(self._read_sequences, self.kmer_size)
+            return {
+                kmer: count
+                for kmer, count in counts.items()
+                if count >= min_count
+            }
         countgraph = Countgraph(
             self.kmer_size, tablesize, khmer_args.DEFAULT_N_TABLES
         )
         countgraph.set_use_bigcount(True)
         for seq in self._read_sequences:
             countgraph.consume_and_tag(seq)
-        candidates = {}
-        for tag in countgraph.get_tagset():
-            count = countgraph.get(tag)
-            if count >= min_count:
-                candidates[tag] = count
-        return candidates
-
-    def _count_candidates_exact(self, min_count):
-        counts = defaultdict(int)
-        for seq in self._read_sequences:
-            for i in range(len(seq) - self.kmer_size + 1):
-                counts[seq[i : i + self.kmer_size]] += 1
         return {
-            kmer: count for kmer, count in counts.items() if count >= min_count
+            tag: countgraph.get(tag)
+            for tag in countgraph.get_tagset()
+            if countgraph.get(tag) >= min_count
         }
 
 
-def align(seq1, seq2, min_overlap_frac=0.9):
-    """No-indel semi-global alignment used to verify candidates against
-    known contaminants; returns the matching portion or None."""
-    aligner = Aligner(seq1, 0.0, SEMIGLOBAL, False, False)
-    aligner.min_overlap = math.ceil(min(len(seq1), len(seq2)) * min_overlap_frac)
-    aligner.indel_cost = 100000
-    match = aligner.locate(seq2)
-    if match:
-        return seq1[match[0] : match[1]]
-    return None
+# -- command entry ------------------------------------------------------------------
+
+
+_DETECTOR_LOG = dict(
+    known="Detecting contaminants using the known-only algorithm",
+    heuristic="Detecting contaminants using the heuristic algorithm",
+    khmer="Detecting contaminants using the kmer-based algorithm",
+)
+
+
+class CommandRunner(BaseCommandRunner):
+    name = "detect"
+
+    def _choose_detector(self, known_contaminants, include):
+        if self.detector:
+            return self.detector
+        if known_contaminants and include == "known":
+            return "known"
+        if self.max_reads <= 50000:
+            return "heuristic"
+        return "khmer"
+
+    def __call__(self):
+        kmer_size = self.kmer_size or 12
+        n_reads = self.max_reads
+        overrep_cutoff = 100
+        include = self.include_contaminants or "all"
+        known_contaminants = None
+        if include != "unknown":
+            known_contaminants = self.load_known_adapters()
+
+        name = self._choose_detector(known_contaminants, include)
+        if name not in _DETECTOR_LOG:
+            raise ValueError("Invalid value for 'detector': {}".format(name))
+        logging.getLogger().debug(_DETECTOR_LOG[name])
+
+        detector_args = dict(known_contaminants=known_contaminants)
+        if name == "known":
+            detector_class = KnownContaminantDetector
+            detector_args["min_kmer_match_frac"] = self.min_kmer_match_frac
+        elif name == "heuristic":
+            detector_class = HeuristicDetector
+            detector_args["min_frequency"] = self.min_frequency
+            detector_args["min_contaminant_match_frac"] = (
+                self.min_contaminant_match_frac
+            )
+        else:
+            detector_class = KhmerDetector
+
+        summary_args = dict(
+            kmer_size=kmer_size,
+            n_reads=n_reads,
+            overrep_cutoff=overrep_cutoff,
+            include=include,
+            past_end_bases=self.past_end_bases,
+        )
+        detector_args.update(summary_args)
+
+        if self.paired:
+            detector = PairedDetector(detector_class, **detector_args)
+        else:
+            detector = detector_class(**detector_args)
+
+        self.summary["detect"] = summary_args
+        if known_contaminants:
+            self.summary["detect"]["known_contaminants"] = (
+                known_contaminants.summarize()
+            )
+
+        logging.getLogger().info(
+            "Detecting adapters and other potential contaminant "
+            "sequences based on %d-mers in %d reads",
+            kmer_size,
+            n_reads,
+        )
+        self.summary.update(mode="serial", threads=1)
+        return run_interruptible(detector, self, raise_on_error=True)

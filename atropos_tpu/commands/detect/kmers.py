@@ -1,0 +1,122 @@
+"""Packed-integer k-mer machinery for contaminant detection.
+
+The reference counts k-mers as Python string slices in dicts
+(``atropos/commands/detect/__init__.py:552-744``). Here every window is
+packed into a base-5 integer code (A,C,G,T,N -> 0..4) with one
+sliding-window matrix multiply, and counting/membership reduce to sorts
+and run-length scans over flat int64 arrays — the same shape as a device
+segment-sum, and vectorized on host via numpy. Sequences containing
+bytes outside ACGTN (or k-mers too long to pack, k > 27) fall back to
+string slicing so observable behavior never changes.
+"""
+import numpy as np
+
+_CODES = np.full(256, 4, np.int64)
+for _i, _base in enumerate(b"ACGT"):
+    _CODES[_base] = _i
+_ALPHABET = "ACGTN"
+_VALID = frozenset(_ALPHABET)
+
+#: largest k such that 5**k fits in int64
+MAX_PACKED_K = 27
+
+
+def packable(seq, k):
+    """Whether ``seq``'s k-mers can be represented as packed codes."""
+    return k <= MAX_PACKED_K and not (set(seq) - _VALID)
+
+
+def pack_windows(seq, k):
+    """int64 codes of every k-window of ``seq`` (caller checks packable)."""
+    data = _CODES[np.frombuffer(seq.encode("ascii"), np.uint8)]
+    n_windows = data.shape[0] - k + 1
+    if n_windows <= 0:
+        return np.empty(0, np.int64)
+    powers = 5 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    return windows @ powers
+
+
+def unpack(code, k):
+    """Inverse of pack_windows for a single code."""
+    out = []
+    for _ in range(k):
+        code, digit = divmod(code, 5)
+        out.append(_ALPHABET[digit])
+    return "".join(reversed(out))
+
+
+def packed_kmer_set(seq, k):
+    """Sorted unique packed codes of ``seq`` (or None if unpackable)."""
+    if not packable(seq, k):
+        return None
+    return np.unique(pack_windows(seq, k))
+
+
+def count_corpus(seqs, k, with_membership=False):
+    """Count every k-mer occurrence across ``seqs``.
+
+    Returns {kmer_string: count} or, with membership,
+    {kmer_string: (count, set_of_seqs)} — the exact structures the
+    detection algorithms consume. Packed counting handles the ACGTN
+    sequences in one vectorized pass; the rest go through string slicing.
+    """
+    seqs = list(seqs)
+    packed_codes = []
+    packed_owner = []
+    slow = []
+    for idx, seq in enumerate(seqs):
+        if packable(seq, k):
+            codes = pack_windows(seq, k)
+            packed_codes.append(codes)
+            if with_membership:
+                packed_owner.append(np.full(codes.shape[0], idx, np.int64))
+        else:
+            slow.append(idx)
+
+    table = {}
+    if packed_codes:
+        flat = np.concatenate(packed_codes)
+        codes, counts = np.unique(flat, return_counts=True)
+        if with_membership:
+            owners = np.concatenate(packed_owner)
+            # unique (code, owner) pairs -> membership lists per code
+            pair_codes, pair_owners = _unique_pairs(flat, owners)
+            boundaries = np.searchsorted(pair_codes, codes)
+            boundaries = np.append(boundaries, pair_codes.shape[0])
+            for row, code in enumerate(codes):
+                members = pair_owners[boundaries[row] : boundaries[row + 1]]
+                table[unpack(int(code), k)] = [
+                    int(counts[row]),
+                    {seqs[owner] for owner in members},
+                ]
+        else:
+            for row, code in enumerate(codes):
+                table[unpack(int(code), k)] = int(counts[row])
+
+    for idx in slow:
+        seq = seqs[idx]
+        for start in range(len(seq) - k + 1):
+            kmer = seq[start : start + k]
+            if with_membership:
+                entry = table.setdefault(kmer, [0, set()])
+                entry[0] += 1
+                entry[1].add(seq)
+            else:
+                table[kmer] = table.get(kmer, 0) + 1
+    return table
+
+
+def _unique_pairs(codes, owners):
+    """Unique (code, owner) pairs, sorted by code then owner."""
+    order = np.lexsort((owners, codes))
+    codes = codes[order]
+    owners = owners[order]
+    keep = np.ones(codes.shape[0], bool)
+    keep[1:] = (codes[1:] != codes[:-1]) | (owners[1:] != owners[:-1])
+    return codes[keep], owners[keep]
+
+
+def intersection_size(set_a, set_b):
+    """|A ∩ B| for two sorted unique code arrays."""
+    return np.intersect1d(set_a, set_b, assume_unique=True).shape[0]
