@@ -1,55 +1,195 @@
-"""Single-node multiprocess parallelism (fork workers + queues).
+"""Forked-worker parallelism for the ``--threads`` CLI mode.
 
-This is the CLI-compatible ``--threads`` backend, architecturally
-equivalent to the reference (``atropos/commands/multicore.py`` +
-``atropos/commands/trim/multicore.py``): N-1 forked workers consume read
-batches from a bounded input queue while the main process acts as the
-reader; results either go to a dedicated writer process (optionally
-order-preserving) or each worker writes its own ``.N``-suffixed shard
-(parallel-write mode, the fastest); worker summaries are merged by the
-typed merge algebra.
+Architecture (reference model: ``atropos/commands/multicore.py`` +
+``atropos/commands/trim/multicore.py``): the main process reads and
+enqueues record batches; N-1 forked workers run the pipeline over them;
+results either stream to one dedicated writer process — optionally in
+input order — or every worker writes its own ``.N``-suffixed shard
+files (parallel-write, the fastest placement). Worker summaries return
+over a queue and merge through the typed summary algebra. Robustness is
+soft: waits log-escalate on timeout instead of killing, and liveness /
+batch-completeness audits surface silent worker deaths.
 
-Note: forked workers never touch the device — device parallelism is the
-mesh-sharded path (:mod:`atropos_tpu.parallel`), and a forked process must
-not reuse the parent's accelerator runtime.
+Forked workers never touch the accelerator — device parallelism is the
+mesh-sharded path (:mod:`atropos_tpu.parallel`), and a forked child must
+not reuse the parent's device runtime.
 """
+import heapq
 import inspect
 import logging
-from multiprocessing import Process, Queue, Value
 import os
-from queue import Empty, Full
-import sys
 import time
+from multiprocessing import Process, Queue, Value
+from queue import Empty, Full
 
 from atropos_tpu import AtroposError
 from atropos_tpu.util import run_interruptible
 
+#: max seconds between retries of a blocked queue operation
 RETRY_INTERVAL = 5
-"""Max time to wait between retrying operations."""
 
-CONTROL_ACTIVE = -1
-"""Controlled process should run normally."""
-CONTROL_ERROR = -2
-"""Controlled process should exit."""
+CONTROL_ACTIVE = -1  # controlled process should keep running
+CONTROL_ERROR = -2  # controlled process hit an error; peers should exit
+
+
+def _log():
+    return logging.getLogger()
 
 
 class MulticoreError(AtroposError):
-    """Base error for parallel processes."""
+    """Base error for the parallel runtime."""
 
 
 class Done(MulticoreError):
-    """Raised when a process exits normally."""
+    """Signals normal completion inside a process loop."""
 
 
 class Killed(MulticoreError):
-    """Raised when a process is killed."""
+    """Signals early termination of a process."""
+
+
+# -- low-level primitives ------------------------------------------------------
+
+
+def wait_on(
+    condition,
+    *args,
+    wait_message="Waiting {}",
+    timeout=None,
+    fail_callback=None,
+    wait=None,
+    timeout_callback=None,
+):
+    """Poll ``condition(*args)`` until it returns anything but False.
+
+    The timeout is *soft*: when exceeded, the wait message escalates to
+    error level and ``timeout_callback`` fires (raising it if it is an
+    exception class), but polling continues — a deliberately lenient
+    policy for congested-filesystem environments.
+    """
+    if wait is True:
+        pause = lambda: time.sleep(RETRY_INTERVAL)
+    elif isinstance(wait, int):
+        pause = lambda: time.sleep(wait)
+    else:
+        pause = wait
+
+    started = None
+    while True:
+        outcome = condition(*args)
+        if outcome is not False:
+            return outcome
+        if fail_callback:
+            fail_callback()
+        now = time.time()
+        if started is None:
+            started = now
+            continue
+        elapsed = now - started
+        message = wait_message.format(
+            "for {} seconds".format(round(elapsed, 1))
+        )
+        if timeout is not None and elapsed >= timeout:
+            _log().error(message)
+            if timeout_callback:
+                if inspect.isclass(timeout_callback):
+                    raise timeout_callback()
+                timeout_callback()
+        else:
+            _log().debug(message)
+        if pause:
+            pause()
+
+
+def enqueue(
+    queue,
+    item,
+    wait_message="Waiting to enqueue item {}",
+    block_timeout=RETRY_INTERVAL,
+    **kwargs,
+):
+    def try_put(value):
+        try:
+            queue.put(value, block=True, timeout=block_timeout)
+            return True
+        except Full:
+            return False
+
+    wait_on(try_put, item, wait_message=wait_message, **kwargs)
+
+
+def dequeue(
+    queue,
+    wait_message="Waiting to dequeue item {}",
+    block_timeout=RETRY_INTERVAL,
+    **kwargs,
+):
+    def try_get():
+        try:
+            return queue.get(block=True, timeout=block_timeout)
+        except Empty:
+            return False
+
+    return wait_on(try_get, wait_message=wait_message, **kwargs)
+
+
+def enqueue_all(items, queue, timeout, fail_callback):
+    """Feed every item into the queue; returns how many were enqueued."""
+    count = 0
+    for item in items:
+        enqueue(
+            queue,
+            item,
+            wait_message="Main process waiting to queue item {}",
+            timeout=timeout,
+            fail_callback=fail_callback,
+        )
+        count += 1
+    return count
+
+
+def ensure_processes(
+    processes, message="One or more process exited: {}", alive=True
+):
+    """Raise unless every process matches the expected aliveness."""
+    states = [proc.is_alive() for proc in processes]
+    if alive != all(states):
+        offenders = [str(i) for i, state in enumerate(states) if state != alive]
+        raise MulticoreError(message.format(",".join(offenders)))
+
+
+def wait_on_process(process, timeout, terminate=False):
+    return wait_on(
+        lambda: not process.is_alive(),
+        wait_message="Waiting on {} to terminate {{}}".format(process.name),
+        timeout=timeout,
+        wait=lambda: process.join(RETRY_INTERVAL),
+        timeout_callback=(process.terminate if terminate else None),
+    )
+
+
+def kill(process, retcode, timeout):
+    if retcode <= 1:
+        wait_on_process(process, timeout, terminate=True)
+    elif process.is_alive():
+        process.terminate()
 
 
 class Control:
-    """Shared (long) value for control-plane communication."""
+    """One shared long used as a tiny cross-process control channel."""
 
     def __init__(self, initial_value=CONTROL_ACTIVE):
         self.control = Value("l", initial_value)
+
+    def get_value(self, lock=True):
+        if not lock:
+            return self.control.value
+        with self.control.get_lock():
+            return self.control.value
+
+    def set_value(self, value):
+        with self.control.get_lock():
+            self.control.value = value
 
     def check_value(self, value, lock=False):
         return self.get_value(lock=lock) == value
@@ -57,55 +197,47 @@ class Control:
     def check_value_positive(self, lock=False):
         return self.get_value(lock=lock) >= 0
 
-    def get_value(self, lock=True):
-        if lock:
-            with self.control.get_lock():
-                return self.control.value
-        return self.control.value
-
-    def set_value(self, value):
-        with self.control.get_lock():
-            self.control.value = value
-
 
 class PendingQueue:
-    """Buffer for out-of-order batches, popped in priority order."""
+    """Priority-ordered holding pen for out-of-order batches (heap-based)."""
 
     def __init__(self, max_size=None):
-        self.queue = {}
+        self._heap = []
+        self._items = {}
         self.max_size = max_size
-        self.min_priority = None
 
     def push(self, priority, value):
         if self.full:
             raise Full()
-        if priority in self.queue:
+        if priority in self._items:
             raise ValueError("Duplicate priority value: {}".format(priority))
-        self.queue[priority] = value
-        if self.min_priority is None or priority < self.min_priority:
-            self.min_priority = priority
+        heapq.heappush(self._heap, priority)
+        self._items[priority] = value
 
     def pop(self):
         if self.empty:
             raise Empty()
-        value = self.queue.pop(self.min_priority)
-        if self.empty:
-            self.min_priority = None
-        else:
-            self.min_priority = min(self.queue.keys())
-        return value
+        priority = heapq.heappop(self._heap)
+        return self._items.pop(priority)
+
+    @property
+    def min_priority(self):
+        return self._heap[0] if self._heap else None
 
     @property
     def full(self):
-        return self.max_size and len(self.queue) >= self.max_size
+        return bool(self.max_size) and len(self._heap) >= self.max_size
 
     @property
     def empty(self):
-        return len(self.queue) == 0
+        return not self._heap
+
+
+# -- worker / runner -----------------------------------------------------------
 
 
 class ParallelPipelineMixin:
-    """Adds per-worker batch tracking to a Pipeline."""
+    """Tracks which batch indexes this worker actually processed."""
 
     def start(self, **kwargs):
         super().start(**kwargs)
@@ -117,7 +249,7 @@ class ParallelPipelineMixin:
 
     def finish(self, summary, worker=None):
         super().finish(summary, worker=worker)
-        logging.getLogger().debug(
+        _log().debug(
             "%s finished; processed %d batches, %d reads",
             worker.name if worker else "worker",
             len(self.seen_batches),
@@ -126,7 +258,7 @@ class ParallelPipelineMixin:
 
 
 class WorkerProcess(Process):
-    """Forked worker executing a pipeline over dequeued batches."""
+    """One forked pipeline executor; None on the input queue stops it."""
 
     def __init__(self, index, input_queue, pipeline, summary_queue, timeout):
         super().__init__(name="Worker process {}".format(index))
@@ -136,51 +268,48 @@ class WorkerProcess(Process):
         self.summary_queue = summary_queue
         self.timeout = timeout
 
+    def _next_batch(self):
+        return dequeue(
+            self.input_queue,
+            wait_message="{} waiting on batch {{}}".format(self.name),
+            timeout=self.timeout,
+        )
+
     def run(self):
-        logging.getLogger().debug("%s running under pid %d", self.name, os.getpid())
-
+        _log().debug("%s running under pid %d", self.name, os.getpid())
         summary = {}
-
-        def iter_batches():
-            while True:
-                batch = dequeue(
-                    self.input_queue,
-                    wait_message="{} waiting on batch {{}}".format(self.name),
-                    timeout=self.timeout,
-                )
-                yield batch
-
-        def enqueue_summary():
-            enqueue(
-                self.summary_queue,
-                (self.index, self.pipeline.seen_batches, summary),
-                wait_message="{} waiting to queue summary {{}}".format(self.name),
-                timeout=self.timeout,
-            )
-
         try:
             self.pipeline.start(worker=self)
-
             try:
-                for batch in iter_batches():
+                while True:
+                    batch = self._next_batch()
                     if batch is None:
                         break
                     self.pipeline.process_batch(batch)
             finally:
                 self.pipeline.finish(summary, worker=self)
-
-            logging.getLogger().debug("%s finished normally", self.name)
+            _log().debug("%s finished normally", self.name)
         except Exception as err:
-            logging.getLogger().error(
-                "Unexpected error in %s", self.name, exc_info=True
-            )
+            _log().error("Unexpected error in %s", self.name, exc_info=True)
             summary["exception"] = err
+        enqueue(
+            self.summary_queue,
+            (self.index, self.pipeline.seen_batches, summary),
+            wait_message="{} waiting to queue summary {{}}".format(self.name),
+            timeout=self.timeout,
+        )
 
-        enqueue_summary()
+
+def launch_workers(count, args=(), offset=0, worker_class=WorkerProcess):
+    _log().info("Starting %d worker processes", count)
+    workers = [worker_class(offset + i, *args) for i in range(count)]
+    for worker in workers:
+        worker.start()
+    return workers
 
 
 class ParallelPipelineRunner:
-    """Reader (main process) + N worker processes + summary merge."""
+    """Main-process orchestration: feed, reap summaries, audit, merge."""
 
     def __init__(self, command_runner, pipeline, threads=None):
         self.threads = threads or command_runner.threads
@@ -196,6 +325,7 @@ class ParallelPipelineRunner:
         self.seen_summaries = None
         self.seen_batches = None
 
+    # hooks for subclasses
     def ensure_alive(self):
         ensure_processes(self.worker_processes)
 
@@ -212,47 +342,49 @@ class ParallelPipelineRunner:
 
     def terminate(self, retcode):
         if self.worker_processes is None:
-            logging.getLogger().warning("Called terminate before starting workers")
-        else:
-            logging.getLogger().debug("Exiting all processes")
-            for process in self.worker_processes:
-                kill(process, retcode, self.timeout)
+            _log().warning("Called terminate before starting workers")
+            return
+        _log().debug("Exiting all processes")
+        for process in self.worker_processes:
+            kill(process, retcode, self.timeout)
 
     def __call__(self):
+        self._feed_all_input()
+        self.after_enqueue()
+        self._await_summaries()
+        self._reap_and_merge()
+        self._audit_batches()
+        self.finish()
+
+    def _feed_all_input(self):
+        """Launch N-1 workers, stream every batch, send poison pills, then
+        convert the now-idle reader slot into one more worker."""
         worker_args = (
             self.input_queue,
             self.pipeline,
             self.summary_queue,
             self.timeout,
         )
-        # reserve one slot for the reader (the main process); reclaim after
         self.worker_processes = launch_workers(self.threads - 1, worker_args)
-
         self.num_batches = enqueue_all(
             self.command_runner.iterator(),
             self.input_queue,
             self.timeout,
             self.ensure_alive,
         )
-
-        logging.getLogger().debug(
-            "Main loop complete; saw %d batches", self.num_batches
-        )
-
-        # poison pills
+        _log().debug("Main loop complete; saw %d batches", self.num_batches)
         enqueue_all(
-            (None,) * self.threads, self.input_queue, self.timeout,
+            (None,) * self.threads,
+            self.input_queue,
+            self.timeout,
             self.ensure_alive,
         )
-
-        self.after_enqueue()
-
-        # reader is done; its slot becomes one more worker
         self.worker_processes.extend(
             launch_workers(1, worker_args, offset=self.threads - 1)
         )
 
-        def summary_timeout_callback():
+    def _await_summaries(self):
+        def on_timeout():
             try:
                 ensure_processes(
                     self.worker_processes,
@@ -260,37 +392,35 @@ class ParallelPipelineRunner:
                     alive=False,
                 )
             except Exception as err:
-                logging.getLogger().error(err)
+                _log().error(err)
 
         wait_on(
             self.summary_queue.full,
             wait_message="Waiting on worker summaries {}",
             timeout=self.timeout,
             wait=True,
-            timeout_callback=summary_timeout_callback,
+            timeout_callback=on_timeout,
         )
 
+    def _reap_and_merge(self):
         self.seen_summaries = set()
         self.seen_batches = set()
 
-        def summary_fail_callback():
-            missing_summaries = set(range(1, self.threads)) - self.seen_summaries
+        def on_missing():
+            missing = set(range(1, self.threads)) - self.seen_summaries
             raise AtroposError(
                 "Missing summaries from processes %s",
-                ",".join(str(summ) for summ in missing_summaries),
+                ",".join(str(idx) for idx in missing),
             )
 
         for _ in range(1, self.threads + 1):
-            batch = dequeue(self.summary_queue, fail_callback=summary_fail_callback)
-            worker_index, worker_batches, worker_summary = batch
+            entry = dequeue(self.summary_queue, fail_callback=on_missing)
+            worker_index, worker_batches, worker_summary = entry
             if worker_summary is None:
                 raise MulticoreError(
                     "Worker process {} died unexpectedly".format(worker_index)
                 )
-            elif (
-                "exception" in worker_summary
-                and worker_summary["exception"] is not None
-            ):
+            if worker_summary.get("exception") is not None:
                 raise AtroposError(
                     "Worker process {} died unexpectedly".format(worker_index),
                     worker_summary["exception"],
@@ -299,26 +429,187 @@ class ParallelPipelineRunner:
             self.seen_batches |= worker_batches
             self.command_runner.summary.merge(worker_summary)
 
-        if self.num_batches > 0:
-            missing_batches = set(range(1, self.num_batches + 1)) - self.seen_batches
-            if len(missing_batches) > 0:
-                raise AtroposError(
-                    "Workers did not process batches {}".format(
-                        ",".join(str(batch) for batch in missing_batches)
-                    )
+    def _audit_batches(self):
+        if self.num_batches <= 0:
+            return
+        missing = set(range(1, self.num_batches + 1)) - self.seen_batches
+        if missing:
+            raise AtroposError(
+                "Workers did not process batches {}".format(
+                    ",".join(str(idx) for idx in sorted(missing))
                 )
+            )
 
-        self.finish()
+
+# -- trim-specific plumbing -------------------------------------------------------
 
 
-# -- trim-specific result plumbing -----------------------------------------
+class QueueResultHandler:
+    """Result handler that relays batches to the writer process's queue."""
+
+    def __init__(self, queue):
+        self.queue = queue
+        self.message = None
+        self.timeout = None
+
+    def start(self, worker):
+        self.message = "{} waiting to queue result {{}}".format(worker.name)
+        self.timeout = worker.timeout
+
+    def write_result(self, batch_num, result):
+        enqueue(
+            self.queue,
+            (batch_num, result),
+            wait_message=self.message,
+            timeout=self.timeout,
+        )
+
+    def finish(self, total_batches=None):
+        pass
+
+
+class CompressingWorkerResultHandler:
+    """Worker-side compression placement: join + compress result strings
+    before they cross the queue (wins at >= 8 threads per the reference's
+    benchmarks)."""
+
+    def __init__(self, handler):
+        self.handler = handler
+        self.file_compressors = None
+
+    def start(self, worker):
+        self.handler.start(worker)
+        self.file_compressors = {}
+
+    def write_result(self, batch_num, result):
+        self.handler.write_result(
+            batch_num,
+            dict(self.prepare_file(*item) for item in result.items()),
+        )
+
+    def prepare_file(self, path, strings):
+        compressor = self.get_compressor(path)
+        if compressor:
+            payload = b"".join(s.encode() for s in strings)
+            return ((path, "wb"), compressor.compress(payload))
+        return ((path, "wt"), "".join(strings))
+
+    def get_compressor(self, filename):
+        from atropos_tpu.io.compression import get_compressor
+
+        if filename not in self.file_compressors:
+            self.file_compressors[filename] = get_compressor(filename)
+        return self.file_compressors[filename]
+
+    def finish(self, total_batches=None):
+        self.handler.finish(total_batches=total_batches)
+
+
+class ResultProcess(Process):
+    """The writer process: drains (batch_num, {path: data}) results.
+
+    It learns the expected batch count late (over the Control value, once
+    the reader finishes) and exits when everything arrived."""
+
+    def __init__(self, result_handler, queue, control, timeout=60):
+        super().__init__(name="Result process")
+        self.result_handler = result_handler
+        self.queue = queue
+        self.control = control
+        self.timeout = timeout
+        self.seen_batches = set()
+        self.num_batches = None
+
+    def _check_done(self):
+        if self.num_batches is None and self.control.check_value_positive():
+            self.num_batches = self.control.get_value()
+        if (
+            self.num_batches is not None
+            and len(self.seen_batches) >= self.num_batches
+        ):
+            raise Done()
+
+    def _report_missing(self):
+        if self.num_batches is None:
+            return
+        missing = set(range(1, self.num_batches + 1)) - self.seen_batches
+        _log().error(
+            "Result thread still missing batches %s of %d",
+            ",".join(str(i) for i in missing),
+            self.num_batches,
+        )
+
+    def run(self):
+        _log().debug(
+            "Writer process %s running under pid %d", self.name, os.getpid()
+        )
+        try:
+            self.result_handler.start(self)
+            while True:
+                batch_num, result = dequeue(
+                    self.queue,
+                    wait_message="Result process waiting on result {}",
+                    timeout=self.timeout,
+                    fail_callback=self._check_done,
+                    timeout_callback=self._report_missing,
+                )
+                self.seen_batches.add(batch_num)
+                self.result_handler.write_result(batch_num, result)
+        except Done:
+            _log().debug("Writer process exiting normally")
+        except Killed:
+            _log().debug("Writer process exited early")
+        except Exception:
+            _log().error("Unexpected error in writer process", exc_info=True)
+            self.control.set_value(CONTROL_ERROR)
+        finally:
+            total = self.control.get_value(lock=True)
+            self.result_handler.finish(total if total > 0 else None)
+
+
+class WriterManager:
+    """Lifecycle owner of the writer process + its control channel."""
+
+    def __init__(self, writers, compression, preserve_order, result_queue, timeout):
+        from atropos_tpu.commands.trim import WriterResultHandler
+
+        handler_class = (
+            OrderPreservingWriterResultHandler
+            if preserve_order
+            else WriterResultHandler
+        )
+        handler = handler_class(writers, compressed=compression == "worker")
+        self.timeout = timeout
+        self.writer_control = Control(CONTROL_ACTIVE)
+        self.writer_process = ResultProcess(
+            handler, result_queue, self.writer_control, timeout
+        )
+        self.writer_process.start()
+
+    def is_active(self):
+        return self.writer_process.is_alive() and self.writer_control.check_value(
+            CONTROL_ACTIVE
+        )
+
+    def set_num_batches(self, num_batches):
+        self.writer_control.set_value(num_batches)
+
+    def wait(self):
+        wait_on_process(self.writer_process, self.timeout)
+
+    def terminate(self, retcode):
+        kill(self.writer_process, retcode, self.timeout)
 
 
 class ParallelTrimPipelineRunner(ParallelPipelineRunner):
-    """ParallelPipelineRunner with an optional writer process."""
+    """Adds writer-process supervision to the generic runner."""
 
     def __init__(
-        self, command_runner, pipeline, threads, writer_manager=None,
+        self,
+        command_runner,
+        pipeline,
+        threads,
+        writer_manager=None,
         queue_manager=None,
     ):
         super().__init__(command_runner, pipeline, threads)
@@ -346,179 +637,14 @@ class ParallelTrimPipelineRunner(ParallelPipelineRunner):
             self.writer_manager.terminate(retcode)
 
 
-class QueueResultHandler:
-    """ResultHandler forwarding results to the writer's queue."""
-
-    def __init__(self, queue):
-        self.queue = queue
-        self.message = None
-        self.timeout = None
-
-    def start(self, worker):
-        self.message = "{} waiting to queue result {{}}".format(worker.name)
-        self.timeout = worker.timeout
-
-    def write_result(self, batch_num, result):
-        enqueue(
-            self.queue,
-            (batch_num, result),
-            wait_message=self.message,
-            timeout=self.timeout,
-        )
-
-    def finish(self, total_batches=None):
-        pass
-
-
-class CompressingWorkerResultHandler:
-    """Joins + compresses result strings in the worker (worker-compression
-    placement; best at >= 8 threads per the reference's benchmarks)."""
-
-    def __init__(self, handler):
-        self.handler = handler
-        self.file_compressors = None
-
-    def start(self, worker):
-        self.handler.start(worker)
-        self.file_compressors = {}
-
-    def write_result(self, batch_num, result):
-        self.handler.write_result(
-            batch_num, dict(self.prepare_file(*item) for item in result.items())
-        )
-
-    def prepare_file(self, path, strings):
-        compressor = self.get_compressor(path)
-        if compressor:
-            return (
-                (path, "wb"),
-                compressor.compress(b"".join(s.encode() for s in strings)),
-            )
-        return ((path, "wt"), "".join(strings))
-
-    def get_compressor(self, filename):
-        from atropos_tpu.io.compression import get_compressor
-
-        if filename not in self.file_compressors:
-            self.file_compressors[filename] = get_compressor(filename)
-        return self.file_compressors[filename]
-
-    def finish(self, total_batches=None):
-        self.handler.finish(total_batches=total_batches)
-
-
-class ResultProcess(Process):
-    """Writer process consuming (batch_num, {path: data}) results."""
-
-    def __init__(self, result_handler, queue, control, timeout=60):
-        super().__init__(name="Result process")
-        self.result_handler = result_handler
-        self.queue = queue
-        self.control = control
-        self.timeout = timeout
-        self.seen_batches = set()
-        self.num_batches = None
-
-    def run(self):
-        logging.getLogger().debug(
-            "Writer process %s running under pid %d", self.name, os.getpid()
-        )
-
-        def fail_callback():
-            if self.num_batches is None and self.control.check_value_positive():
-                self.num_batches = self.control.get_value()
-            if (
-                self.num_batches is not None
-                and len(self.seen_batches) >= self.num_batches
-            ):
-                raise Done()
-
-        def timeout_callback():
-            if self.num_batches is not None:
-                missing = set(range(1, self.num_batches + 1)) - self.seen_batches
-                logging.getLogger().error(
-                    "Result thread still missing batches %s of %d",
-                    ",".join(str(i) for i in missing),
-                    self.num_batches,
-                )
-
-        def iter_batches():
-            while True:
-                batch = dequeue(
-                    self.queue,
-                    wait_message="Result process waiting on result {}",
-                    timeout=self.timeout,
-                    fail_callback=fail_callback,
-                    timeout_callback=timeout_callback,
-                )
-                yield batch
-
-        try:
-            self.result_handler.start(self)
-
-            for batch_num, result in iter_batches():
-                self.seen_batches.add(batch_num)
-                self.result_handler.write_result(batch_num, result)
-        except Done:
-            logging.getLogger().debug("Writer process exiting normally")
-        except Killed:
-            logging.getLogger().debug("Writer process exited early")
-        except Exception:
-            logging.getLogger().error(
-                "Unexpected error in writer process", exc_info=True
-            )
-            self.control.set_value(CONTROL_ERROR)
-        finally:
-            num_batches = self.control.get_value(lock=True)
-            self.result_handler.finish(num_batches if num_batches > 0 else None)
-
-
-class WriterManager:
-    """Owns the writer process and its control variable."""
-
-    def __init__(self, writers, compression, preserve_order, result_queue, timeout):
-        from atropos_tpu.commands.trim import WriterResultHandler
-
-        if preserve_order:
-            writer_result_handler = OrderPreservingWriterResultHandler(
-                writers, compressed=compression == "worker"
-            )
-        else:
-            writer_result_handler = WriterResultHandler(
-                writers, compressed=compression == "worker"
-            )
-
-        self.timeout = timeout
-        self.writer_control = Control(CONTROL_ACTIVE)
-        self.writer_process = ResultProcess(
-            writer_result_handler, result_queue, self.writer_control, timeout
-        )
-        self.writer_process.start()
-
-    def is_active(self):
-        return self.writer_process.is_alive() and self.writer_control.check_value(
-            CONTROL_ACTIVE
-        )
-
-    def set_num_batches(self, num_batches):
-        self.writer_control.set_value(num_batches)
-
-    def wait(self):
-        wait_on_process(self.writer_process, self.timeout)
-
-    def terminate(self, retcode):
-        kill(self.writer_process, retcode, self.timeout)
-
-
-def _make_order_preserving_handler():
-    """OrderPreservingWriterResultHandler requires the trim module's
-    WriterResultHandler base; construct the class lazily to avoid an import
-    cycle at module load."""
+def _order_preserving_class():
+    """The order-preserving writer handler subclasses the trim module's
+    WriterResultHandler; build the class lazily to avoid a circular import
+    at module load."""
     from atropos_tpu.commands.trim import WriterResultHandler
 
     class _OrderPreserving(WriterResultHandler):
-        """Writer handler that buffers out-of-order batches and flushes
-        them sequentially."""
+        """Buffers out-of-order batches, flushing in input order."""
 
         def __init__(self, *args, **kwargs):
             super().__init__(*args, **kwargs)
@@ -531,12 +657,19 @@ def _make_order_preserving_handler():
             self.cur_batch = 1
 
         def write_result(self, batch_num, result):
-            if batch_num == self.cur_batch:
-                self.writers.write_result(result, self.compressed)
-                self.cur_batch += 1
-                self.consume_pending()
-            else:
+            if batch_num != self.cur_batch:
                 self.pending.push(batch_num, result)
+                return
+            self.writers.write_result(result, self.compressed)
+            self.cur_batch += 1
+            self.consume_pending()
+
+        def consume_pending(self):
+            while not self.pending.empty and (
+                self.cur_batch == self.pending.min_priority
+            ):
+                self.writers.write_result(self.pending.pop(), self.compressed)
+                self.cur_batch += 1
 
         def finish(self, total_batches=None):
             if total_batches is not None:
@@ -550,30 +683,22 @@ def _make_order_preserving_handler():
                     )
             super().finish(total_batches=total_batches)
 
-        def consume_pending(self):
-            while (not self.pending.empty) and (
-                self.cur_batch == self.pending.min_priority
-            ):
-                self.writers.write_result(self.pending.pop(), self.compressed)
-                self.cur_batch += 1
-
     return _OrderPreserving
 
 
 def OrderPreservingWriterResultHandler(*args, **kwargs):
-    return _make_order_preserving_handler()(*args, **kwargs)
+    return _order_preserving_class()(*args, **kwargs)
 
 
 def run_parallel_trim(command_runner, record_handler, writers):
-    """Parallel trim orchestration (reference ``trim/__init__.py:692``):
-    sets up worker/writer compression placement, the writer process (or
-    parallel-write mode), and runs the ParallelTrimPipelineRunner."""
+    """Orchestrate parallel trimming (reference ``trim/__init__.py:692``):
+    choose the compression placement, set up the writer process or
+    parallel-write shards, and run the trim pipeline over workers."""
     from multiprocessing import Manager
 
     from atropos_tpu.commands.trim import (
         PairedEndTrimPipeline,
         SingleEndTrimPipeline,
-        TrimPipeline,
         WorkerResultHandler,
         WriterResultHandler,
     )
@@ -582,21 +707,22 @@ def run_parallel_trim(command_runner, record_handler, writers):
     options = command_runner.options
     timeout = max(command_runner.process_timeout, RETRY_INTERVAL)
     threads = command_runner.threads
-
-    logging.getLogger().debug(
+    _log().debug(
         "Starting trim in parallel mode with threads=%d, timeout=%d",
         threads,
         timeout,
     )
-
     if threads < 2:
         raise ValueError("'threads' must be >= 2")
 
+    # compression placement: system gzip in the writer process when
+    # available and requested, else zlib in the workers
     compression = command_runner.compression
     if compression is None:
-        compression = "worker"
         if command_runner.writer_process and can_use_system_compression():
             compression = "writer"
+        else:
+            compression = "worker"
     if compression == "writer" and threads > 2:
         threads -= 1
 
@@ -605,14 +731,11 @@ def run_parallel_trim(command_runner, record_handler, writers):
     writer_manager = None
 
     if options.writer_process:
+        relay = QueueResultHandler(result_queue)
         if compression == "writer":
-            worker_result_handler = WorkerResultHandler(
-                QueueResultHandler(result_queue)
-            )
+            worker_result_handler = WorkerResultHandler(relay)
         else:
-            worker_result_handler = CompressingWorkerResultHandler(
-                QueueResultHandler(result_queue)
-            )
+            worker_result_handler = CompressingWorkerResultHandler(relay)
         writer_manager = WriterManager(
             writers, compression, options.preserve_order, result_queue, timeout
         )
@@ -621,10 +744,7 @@ def run_parallel_trim(command_runner, record_handler, writers):
             WriterResultHandler(writers, use_suffix=True)
         )
 
-    if options.paired:
-        base = PairedEndTrimPipeline
-    else:
-        base = SingleEndTrimPipeline
+    base = PairedEndTrimPipeline if options.paired else SingleEndTrimPipeline
     pipeline_class = type(
         "ParallelTrimPipelineImpl", (ParallelPipelineMixin, base), {}
     )
@@ -633,139 +753,3 @@ def run_parallel_trim(command_runner, record_handler, writers):
         command_runner, pipeline, threads, writer_manager, queue_manager
     )
     return runner.run()
-
-
-# -- primitives -------------------------------------------------------------
-
-
-def launch_workers(num_workers, args=(), offset=0, worker_class=WorkerProcess):
-    logging.getLogger().info("Starting %d worker processes", num_workers)
-    workers = [worker_class(i + offset, *args) for i in range(num_workers)]
-    for worker in workers:
-        worker.start()
-    return workers
-
-
-def ensure_processes(processes, message="One or more process exited: {}", alive=True):
-    is_alive = [worker.is_alive() for worker in processes]
-    if alive != all(is_alive):
-        raise MulticoreError(
-            message.format(
-                ",".join(str(i) for i, a in enumerate(is_alive) if a != alive)
-            )
-        )
-
-
-def wait_on(
-    condition,
-    *args,
-    wait_message="Waiting {}",
-    timeout=None,
-    fail_callback=None,
-    wait=None,
-    timeout_callback=None,
-):
-    """Poll ``condition`` until it returns non-False; soft timeout escalates
-    log level rather than killing (reference rationale:
-    ``trim/__init__.py:719-742``)."""
-    if wait is True:
-        wait = lambda: time.sleep(RETRY_INTERVAL)
-    elif isinstance(wait, int):
-        wait_time = wait
-        wait = lambda: time.sleep(wait_time)
-    wait_start = None
-    while True:
-        result = condition(*args)
-        if result is not False:
-            return result
-        if fail_callback:
-            fail_callback()
-        now = time.time()
-        if not wait_start:
-            wait_start = now
-        else:
-            waiting = now - wait_start
-            msg = wait_message.format("for {} seconds".format(round(waiting, 1)))
-            if timeout is not None and waiting >= timeout:
-                logging.getLogger().error(msg)
-                if timeout_callback:
-                    if inspect.isclass(timeout_callback):
-                        raise timeout_callback()
-                    else:
-                        timeout_callback()
-            else:
-                logging.getLogger().debug(msg)
-            if wait:
-                wait()
-
-
-def wait_on_process(process, timeout, terminate=False):
-    timeout_callback = lambda: process.terminate() if terminate else None
-    return wait_on(
-        lambda: not process.is_alive(),
-        wait_message="Waiting on {} to terminate {{}}".format(process.name),
-        timeout=timeout,
-        wait=lambda: process.join(RETRY_INTERVAL),
-        timeout_callback=timeout_callback,
-    )
-
-
-def enqueue(
-    queue,
-    item,
-    wait_message="Waiting to enqueue item {}",
-    block_timeout=RETRY_INTERVAL,
-    **kwargs,
-):
-    def condition(item):
-        try:
-            queue.put(item, block=True, timeout=block_timeout)
-            return True
-        except Full:
-            return False
-
-    wait_on(condition, item, wait_message=wait_message, **kwargs)
-
-
-def enqueue_all(iterable, queue, timeout, fail_callback):
-    num_items = 0
-
-    def condition(item):
-        try:
-            queue.put(item, block=True, timeout=RETRY_INTERVAL)
-            return True
-        except Full:
-            return False
-
-    for item in iterable:
-        wait_on(
-            condition,
-            item,
-            wait_message="Main process waiting to queue item {}",
-            timeout=timeout,
-            fail_callback=fail_callback,
-        )
-        num_items += 1
-    return num_items
-
-
-def dequeue(
-    queue,
-    wait_message="Waiting to dequeue item {}",
-    block_timeout=RETRY_INTERVAL,
-    **kwargs,
-):
-    def condition():
-        try:
-            return queue.get(block=True, timeout=block_timeout)
-        except Empty:
-            return False
-
-    return wait_on(condition, wait_message=wait_message, **kwargs)
-
-
-def kill(process, retcode, timeout):
-    if retcode <= 1:
-        wait_on_process(process, timeout, terminate=True)
-    elif process.is_alive():
-        process.terminate()
