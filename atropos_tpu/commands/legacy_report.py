@@ -1,12 +1,12 @@
-"""Cutadapt/Atropos-style legacy text reports.
+"""Cutadapt/Atropos-style plain-text reports.
 
-Produces the same report layout as the reference
-(``atropos/commands/legacy_report.py``): run summary, trimming tables,
-per-adapter removed-length histograms with expected-by-chance columns and
-per-length error-count histograms, adjacent-base warnings, and the
-pre-/post-trim read-statistics tables.
+Layout-compatible with the reference
+(``atropos/commands/legacy_report.py:223-942``): a run summary, the
+trimming count/bp tables, per-adapter removed-length histograms with
+expected-by-chance columns and per-length error-count mini-histograms,
+adjacent-base warnings, and the pre-/post-trim read-statistics tables.
+The byte-level layout is pinned by ``tests/test_legacy_report.py``.
 """
-from abc import ABCMeta, abstractmethod
 import math
 import textwrap
 
@@ -18,13 +18,43 @@ PARAGRAPH = textwrap.TextWrapper()
 INDENTED = textwrap.TextWrapper(initial_indent=INDENT, subsequent_indent=INDENT)
 
 
+def _column_width(*values, seps=True, prec=1):
+    """Formatted width of the widest value (commas included)."""
+    sample = values[0]
+    if isinstance(sample, str):
+        return max(len(v) for v in values)
+    if isinstance(sample, int):
+        width = len(str(max(values)))
+        if seps:
+            width += width // 3
+        return width
+    if isinstance(sample, float):
+        width = len(str(round(max(values), prec)))
+        if seps:
+            width += (width - prec - 1) // 3
+        return width
+    raise ValueError("Unexpected data type: {}".format(sample.__class__))
+
+
+# exported under the reference-compatible name
+sizeof = _column_width
+
+
+def _as_tuple(value, scalar_type):
+    return (value,) if isinstance(value, scalar_type) else tuple(value)
+
+
 class Printer:
-    """Prints to a file with optional indenting."""
+    """print() bound to a file, with optional indent prefixes."""
 
     def __init__(self, outfile, indent=None, **kwargs):
         self.outfile = outfile
         self.indent = indent
         self.print_args = kwargs
+
+    def _print(self, *args, **kwargs):
+        merged = dict(self.print_args, **kwargs) if self.print_args else kwargs
+        print(*args, file=self.outfile, **merged)
 
     def __call__(self, *args, indent=None, **kwargs):
         if isinstance(indent, int):
@@ -35,20 +65,12 @@ class Printer:
             self._print(indent, end="")
         self._print(*args, **kwargs)
 
-    def _print(self, *args, **kwargs):
-        if self.print_args:
-            print_args = self.print_args.copy()
-            print_args.update(kwargs)
-        else:
-            print_args = kwargs
-        print(*args, file=self.outfile, **print_args)
-
     def newline(self):
         print(file=self.outfile)
 
 
 class TitlePrinter(Printer):
-    """Printer that over/underlines titles per heading level."""
+    """Section titles with per-level over/underline characters."""
 
     def __init__(
         self,
@@ -60,27 +82,30 @@ class TitlePrinter(Printer):
         self.levels = levels
 
     def __call__(self, *title, level=None, newline=True, **kwargs):
-        title = " ".join(title)
-        if level is not None:
+        text = " ".join(title)
+        if level is None:
+            self._print(text, **kwargs)
+        else:
             if level >= len(self.levels):
                 raise ValueError("Invalid level: {}".format(level))
             underline, overline = self.levels[level]
             if overline is True:
                 overline = underline
-            width = len(title)
             if overline:
-                self._print(overline * width, **kwargs)
-            self._print(title, **kwargs)
+                self._print(overline * len(text), **kwargs)
+            self._print(text, **kwargs)
             if underline:
-                self._print(underline * width, **kwargs)
-        else:
-            self._print(title, **kwargs)
+                self._print(underline * len(text), **kwargs)
         if newline:
             self.newline()
 
 
 class RowPrinter(Printer):
-    """Table-row printer with per-column width/justification/indent."""
+    """Aligned table rows: per-column widths, justification, indents.
+
+    ints render with thousands separators, floats with one decimal (as a
+    percentage when ``pct``), strings are truncated to the column.
+    """
 
     def __init__(
         self,
@@ -93,38 +118,37 @@ class RowPrinter(Printer):
         **kwargs,
     ):
         super().__init__(outfile, **kwargs)
-        self.colwidths, self.justification, self.indent = (
-            (arg,) if isinstance(arg, typ) else tuple(arg)
-            for arg, typ in zip(
-                (colwidths, justification, indent), (int, str, str)
-            )
-        )
+        self.colwidths = _as_tuple(colwidths, int)
+        self.justification = _as_tuple(justification, str)
+        self.indent = _as_tuple(indent, str)
         self.pct = pct
         self.default = default
 
-    def print_rows(self, *rows, header=None, **kwargs):
-        colwidths = tuple(sizeof(*x) for x in zip(*rows))
-        if header:
-            if isinstance(header[0], str):
-                header_widths = (sizeof(h) for h in header)
-                header_rows = [header]
-            else:
-                header_widths = (
-                    max(sizeof(h) for h in header_part) for header_part in header
-                )
-                header_rows = list(zip(*header))
-            colwidths = tuple(
-                max(h, c) for h, c in zip(header_widths, colwidths)
-            )
-            for i, header_row in enumerate(header_rows, 1):
-                self(
-                    *header_row,
-                    colwidths=colwidths,
-                    header=(i == len(header_rows)),
-                    **kwargs,
-                )
-        for row in rows:
-            self(*row, colwidths=colwidths)
+    @staticmethod
+    def _fit(values, ncols, extra=None):
+        """Pad/trim a per-column setting tuple to exactly ncols."""
+        if len(values) == ncols:
+            return values
+        if len(values) > ncols:
+            return values[:ncols]
+        filler = extra if extra is not None else values[-1]
+        return values + (filler,) * (ncols - len(values))
+
+    def _render_cell(self, position, value, width, just, ind, pct):
+        if value is None:
+            value = self.default
+        if isinstance(value, str):
+            spec = "s"
+            if len(value) > width:
+                value = truncate_string(value, width)
+        elif isinstance(value, float):
+            spec = ",.1" + ("%" if pct else "f")
+        else:
+            spec = ",d"
+        template = "{ind}{{{i}:{just}{width}{spec}}}".format(
+            ind=ind, i=position, just=just, width=width - len(ind), spec=spec
+        )
+        return template, value
 
     def __call__(
         self,
@@ -145,61 +169,66 @@ class RowPrinter(Printer):
         if ncols == 0:
             self.newline()
             return
-
         if pct is None:
             pct = self.pct
-
-        def adjust(arr, extra=None):
-            alen = len(arr)
-            if alen == ncols:
-                return arr
-            elif alen > ncols:
-                return arr[:ncols]
-            return arr + ((extra or arr[-1],) * (ncols - alen))
-
-        colwidths, justification, indent = (
-            adjust(arr, extra)
-            for arr, extra in zip(
-                (
-                    colwidths or self.colwidths,
-                    justification or self.justification,
-                    indent or self.indent,
-                ),
-                (extra_width, extra_justification, extra_indent),
+        if default is not None:
+            # per-call default for None cells
+            saved_default, self.default = self.default, default
+        try:
+            widths = self._fit(colwidths or self.colwidths, ncols, extra_width)
+            justs = self._fit(
+                justification or self.justification, ncols, extra_justification
             )
-        )
+            indents = self._fit(indent or self.indent, ncols, extra_indent)
+            if header:
+                widths = tuple(
+                    max(w, len(str(a))) for w, a in zip(widths, args)
+                )
+            templates = []
+            cells = []
+            for i, (value, width, just, ind) in enumerate(
+                zip(args, widths, justs, indents)
+            ):
+                template, cell = self._render_cell(
+                    i, value, width, just, ind, pct
+                )
+                templates.append(template)
+                cells.append(cell)
+            self._print(" ".join(templates).format(*cells), **kwargs)
+            if header:
+                self._print(
+                    " ".join(underline * w for w in widths), **kwargs
+                )
+        finally:
+            if default is not None:
+                self.default = saved_default
 
+    def print_rows(self, *rows, header=None, **kwargs):
+        """Print a header + body with widths fitted to the data."""
+        widths = tuple(_column_width(*col) for col in zip(*rows))
         if header:
-            colwidths = tuple(
-                max(w, len(str(a))) for w, a in zip(colwidths, args)
-            )
-
-        fmt_str = []
-        fmt_args = []
-        for i, (value, width, just, ind) in enumerate(
-            zip(args, colwidths, justification, indent)
-        ):
-            if value is None:
-                value = default or self.default
-            if isinstance(value, str):
-                typ = "s"
-                if len(value) > width:
-                    value = truncate_string(value, width)
-            elif isinstance(value, float):
-                typ = ",.1" + ("%" if pct else "f")
+            if isinstance(header[0], str):
+                header_widths = (_column_width(h) for h in header)
+                header_rows = [header]
             else:
-                typ = ",d"
-            fmt_str.append(
-                ind + "{" + str(i) + ":" + just + str(width - len(ind)) + typ + "}"
-            )
-            fmt_args.append(value)
+                header_widths = (
+                    max(_column_width(part) for part in column)
+                    for column in header
+                )
+                header_rows = list(zip(*header))
+            widths = tuple(max(h, c) for h, c in zip(header_widths, widths))
+            for i, row in enumerate(header_rows, 1):
+                self(
+                    *row,
+                    colwidths=widths,
+                    header=(i == len(header_rows)),
+                    **kwargs,
+                )
+        for row in rows:
+            self(*row, colwidths=widths)
 
-        fmt_str = " ".join(fmt_str)
-        self._print(fmt_str.format(*fmt_args), **kwargs)
 
-        if header:
-            sepline = " ".join((underline * width) for width in colwidths)
-            self._print(sepline, **kwargs)
+# -- entry points ----------------------------------------------------------------
 
 
 def generate_report(summary, outfile):
@@ -219,7 +248,7 @@ def generate_trim_report(summary, outfile):
 
 
 def generate_stats_report(out, summary):
-    """qc command text report (same layout as --stats pre)."""
+    """qc command text report (the stats sections only)."""
     print_summary_report(summary, out)
     if "pre" in summary:
         print_pre_trim_report(summary, out)
@@ -227,279 +256,431 @@ def generate_stats_report(out, summary):
         print_post_trim_report(summary, out)
 
 
-def print_summary_report(summary, outfile):
-    _print_title = TitlePrinter(outfile)
-    _print = Printer(outfile)
+# -- run summary -------------------------------------------------------------------
 
-    _print_title("Atropos", level=0)
-    _print("Atropos version: {}".format(summary["version"]))
-    _print("Python version: {}".format(summary["python"]))
-    _print(
+
+def print_summary_report(summary, outfile):
+    title = TitlePrinter(outfile)
+    emit = Printer(outfile)
+
+    title("Atropos", level=0)
+    emit("Atropos version: {}".format(summary["version"]))
+    emit("Python version: {}".format(summary["python"]))
+    emit(
         "Command line parameters: {} {}".format(
             summary["command"], " ".join(summary["options"]["orig_args"])
         )
     )
-    _print()
-
-    _print("Sample ID: {}".format(summary["sample_id"]))
-    _print("Input format: {}".format(summary["derived"]["input_format"]))
-    _print("Input files:")
+    emit()
+    emit("Sample ID: {}".format(summary["sample_id"]))
+    emit("Input format: {}".format(summary["derived"]["input_format"]))
+    emit("Input files:")
     for infile in summary["input"]["input_names"]:
         if infile is not None:
-            _print(infile, indent=INDENT)
-    _print()
+            emit(infile, indent=INDENT)
+    emit()
 
     timing = summary["timing"]
     total = summary["total_record_count"]
-    wctime = ["Wallclock time: {:.2F} s".format(timing["wallclock"])]
+    wallclock = ["Wallclock time: {:.2F} s".format(timing["wallclock"])]
     if total > 0:
-        wctime.append(
+        wallclock.append(
             "({0:.0F} us/read; {1:.2F} M reads/minute)".format(
                 1e6 * timing["wallclock"] / total,
                 total / timing["wallclock"] * 60 / 1e6,
             )
         )
-    _print("Start time: {}".format(timing["start"]))
-    _print(*wctime)
-    _print("CPU time (main process): {0:.2F} s".format(timing["cpu"]))
-    _print()
+    emit("Start time: {}".format(timing["start"]))
+    emit(*wallclock)
+    emit("CPU time (main process): {0:.2F} s".format(timing["cpu"]))
+    emit()
+
+
+# -- trimming section ----------------------------------------------------------------
 
 
 def print_trim_report(summary, outfile):
-    paired = summary["options"]["paired"]
-    pairs_or_reads = "Pairs" if paired else "Reads"
-    total_bp = sum(summary["total_bp_counts"])
-    max_width = len(str(total_bp))
-    max_width += max_width // 3  # commas
+    _TrimSection(summary, outfile).write()
 
-    _print_title = TitlePrinter(outfile)
-    _print = RowPrinter(outfile, (35, max_width))
 
-    total = summary["total_record_count"]
-    if total == 0:
-        Printer(outfile)(
-            "No reads processed! Either your input file is empty or you "
-            "used the wrong -f/--format parameter."
+class _TrimSection:
+    """The Trimming tables: record counts, bp counts, adapter details."""
+
+    def __init__(self, summary, outfile):
+        self.summary = summary
+        self.outfile = outfile
+        self.paired = summary["options"]["paired"]
+        self.pairs_or_reads = "Pairs" if self.paired else "Reads"
+        self.total_bp = sum(summary["total_bp_counts"])
+        self.total = summary["total_record_count"]
+        width = len(str(self.total_bp))
+        self.max_width = width + width // 3  # room for comma separators
+        self.title = TitlePrinter(outfile)
+        self.row = RowPrinter(outfile, (35, self.max_width))
+
+    def write(self):
+        if self.total == 0:
+            Printer(self.outfile)(
+                "No reads processed! Either your input file is empty or you "
+                "used the wrong -f/--format parameter."
+            )
+            return
+        sections = self.summary["trim"]
+        self.modifiers = sections["modifiers"]
+        self.filters = sections["filters"]
+        self.formatters = sections["formatters"]
+        self._classify_modifiers()
+
+        self.title("Trimming", level=1)
+        self._write_record_counts()
+        self.row()
+        self._write_bp_counts()
+        if self.adapter_cutter:
+            self.row()
+            print_adapter_report(
+                self.adapter_cutter["adapters"],
+                self.outfile,
+                self.paired,
+                self.total,
+                self.max_width,
+            )
+
+    def _classify_modifiers(self):
+        self.adapter_cutter = None
+        error_corrector = None
+        for stats in self.modifiers.values():
+            if self.adapter_cutter is None and "adapters" in stats:
+                self.adapter_cutter = stats
+                break
+            if error_corrector is None and "bp_corrected" in stats:
+                error_corrector = stats
+        self.error_corrector = error_corrector
+        self.trimmers = [
+            (name, stats)
+            for name, stats in self.modifiers.items()
+            if "bp_trimmed" in stats
+        ]
+        self.corrected = None
+        if self.summary["options"]["correct_mismatches"]:
+            for stats in self.modifiers.values():
+                if "records_corrected" in stats:
+                    self.corrected = stats
+
+    def _write_record_counts(self):
+        row = self.row
+        row(self.pairs_or_reads, "records", "fraction", header=True)
+        row(
+            "Total {} processed:".format(
+                "read pairs" if self.paired else "reads"
+            ),
+            self.total,
         )
-        return
+        if self.adapter_cutter:
+            hits = self.adapter_cutter["records_with_adapters"]
+            fracs = self.adapter_cutter["fraction_records_with_adapters"]
+            if self.paired:
+                for read in range(2):
+                    row(
+                        "Read {} with adapter:".format(read + 1),
+                        hits[read],
+                        fracs[read],
+                        indent=(INDENT, ""),
+                        pct=True,
+                    )
+            else:
+                row("Reads with adapters:", hits[0], fracs[0], pct=True)
 
-    modifiers, filters, formatters = (
-        summary["trim"][key] for key in ("modifiers", "filters", "formatters")
-    )
-    adapter_cutter = None
-    error_corrector = None
-    for modifier_dict in modifiers.values():
-        if adapter_cutter is None and "adapters" in modifier_dict:
-            adapter_cutter = modifier_dict
-            break
-        if error_corrector is None and "bp_corrected" in modifier_dict:
-            error_corrector = modifier_dict
-    correction_enabled = summary["options"]["correct_mismatches"]
-    corrected = None
-    trimmers = []
-    for name, mod in modifiers.items():
-        if "bp_trimmed" in mod:
-            trimmers.append((name, mod))
-        if correction_enabled and "records_corrected" in mod:
-            corrected = mod
-
-    _print_title("Trimming", level=1)
-    _print(pairs_or_reads, "records", "fraction", header=True)
-    _print(
-        "Total {} processed:".format("read pairs" if paired else "reads"), total
-    )
-    if adapter_cutter:
-        if paired:
-            for read in range(2):
-                _print(
-                    "Read {} with adapter:".format(read + 1),
-                    adapter_cutter["records_with_adapters"][read],
-                    adapter_cutter["fraction_records_with_adapters"][read],
-                    indent=(INDENT, ""),
+        for key, phrase in (
+            ("too_short", "that were"),
+            ("too_long", "that were"),
+            ("too_many_n", "with"),
+        ):
+            if key in self.filters:
+                row(
+                    "{} {} {}:".format(
+                        self.pairs_or_reads, phrase, key.replace("_", " ")
+                    ),
+                    self.filters[key]["records_filtered"],
+                    self.filters[key]["fraction_records_filtered"],
                     pct=True,
                 )
-        else:
-            _print(
-                "Reads with adapters:",
-                adapter_cutter["records_with_adapters"][0],
-                adapter_cutter["fraction_records_with_adapters"][0],
-                pct=True,
-            )
 
-    def _print_filter(name, sep):
-        if name in filters:
-            _print(
-                "{} {} {}:".format(pairs_or_reads, sep, name.replace("_", " ")),
-                filters[name]["records_filtered"],
-                filters[name]["fraction_records_filtered"],
-                pct=True,
-            )
-
-    _print_filter("too_short", "that were")
-    _print_filter("too_long", "that were")
-    _print_filter("too_many_n", "with")
-
-    _print(
-        "{} written (passing filters):".format(pairs_or_reads),
-        formatters["records_written"],
-        formatters["fraction_records_written"],
-        pct=True,
-    )
-
-    if corrected:
-        _print(
-            "Pairs corrected:",
-            corrected["records_corrected"],
-            corrected["fraction_records_corrected"],
+        row(
+            "{} written (passing filters):".format(self.pairs_or_reads),
+            self.formatters["records_written"],
+            self.formatters["fraction_records_written"],
             pct=True,
         )
-
-    _print()
-    _print("Base pairs", "bp", "fraction", header=True)
-
-    _print("Total bp processed:", total_bp)
-    if paired:
-        for read in range(2):
-            _print(
-                "Read {}:".format(read + 1),
-                summary["total_bp_counts"][read],
-                indent=(INDENT, ""),
+        if self.corrected:
+            row(
+                "Pairs corrected:",
+                self.corrected["records_corrected"],
+                self.corrected["fraction_records_corrected"],
+                pct=True,
             )
 
-    def _print_bp(title, data, key, default=0):
-        if paired:
-            _print(
-                title,
-                data["total_{}".format(key)],
-                data["fraction_total_{}".format(key)],
+    def _write_bp_line(self, label, stats, key, default=0):
+        row = self.row
+        if self.paired:
+            row(
+                label,
+                stats["total_" + key],
+                stats["fraction_total_" + key],
                 pct=True,
             )
             for read in range(2):
-                _print(
+                row(
                     "Read {}:".format(read + 1),
-                    data[key][read],
-                    data["fraction_{}".format(key)][read],
+                    stats[key][read],
+                    stats["fraction_" + key][read],
                     indent=(INDENT, ""),
                     pct=True,
                     default=default,
                 )
         else:
-            _print(
-                title,
-                data[key][0],
-                data["fraction_{}".format(key)][0],
+            row(
+                label,
+                stats[key][0],
+                stats["fraction_" + key][0],
                 pct=True,
                 default=default,
             )
 
-    for name, mod in trimmers:
-        _print_bp(mod["desc"], mod, "bp_trimmed")
+    def _write_bp_counts(self):
+        row = self.row
+        row("Base pairs", "bp", "fraction", header=True)
+        row("Total bp processed:", self.total_bp)
+        if self.paired:
+            for read in range(2):
+                row(
+                    "Read {}:".format(read + 1),
+                    self.summary["total_bp_counts"][read],
+                    indent=(INDENT, ""),
+                )
+        for _, stats in self.trimmers:
+            self._write_bp_line(stats["desc"], stats, "bp_trimmed")
+        self._write_bp_line(
+            "Total bp written (filtered):", self.formatters, "bp_written"
+        )
+        if self.error_corrector:
+            self._write_bp_line(
+                "Total bp corrected:", self.error_corrector, "bp_corrected"
+            )
 
-    _print_bp("Total bp written (filtered):", formatters, "bp_written")
 
-    if error_corrector:
-        _print_bp("Total bp corrected:", error_corrector, "bp_corrected")
-
-    if adapter_cutter:
-        _print()
-        adapters = adapter_cutter["adapters"]
-        print_adapter_report(adapters, outfile, paired, total, max_width)
+# -- adapter section -----------------------------------------------------------------
 
 
 def print_adapter_report(adapters, outfile, paired, total_records, max_width):
-    """Per-adapter tables: removed-length histograms with expected-random
-    columns, error ranges, adjacent-base warnings."""
-    adapter_lengths = []
-    for pair in adapters:
-        if pair:
-            for adapter in pair.values():
-                if adapter["where"]["name"] == "linked":
-                    adapter_lengths.append(
+    _AdapterSection(adapters, outfile, paired, total_records, max_width).write()
+
+
+class _AdapterSection:
+    """Per-adapter tables: removed-length histogram + expected-by-chance
+    column + per-length error mini-histograms + adjacent-base warning."""
+
+    def __init__(self, adapters, outfile, paired, total_records, max_width):
+        self.adapters = adapters
+        self.outfile = outfile
+        self.paired = paired
+        self.total_records = total_records
+        self.emit = Printer(outfile)
+        self.title = TitlePrinter(outfile)
+        self.adj_row = RowPrinter(outfile, (12, 5), pct=True, indent=(INDENT, ""))
+        self.seq_row = RowPrinter(
+            outfile,
+            (self._longest_sequence(), 14, 3, max_width),
+            ("<", "<", ">"),
+        )
+        self.hist_row = RowPrinter(
+            outfile, justification=(">", ">", ">", ">", "<")
+        )
+        self.incomplete_warning = False
+
+    def _longest_sequence(self):
+        lengths = []
+        for side in self.adapters:
+            for stats in (side or {}).values():
+                if stats["where"]["name"] == "linked":
+                    lengths.append(
                         3
-                        + len(
-                            adapter["front_sequence"] + adapter["back_sequence"]
-                        )
+                        + len(stats["front_sequence"] + stats["back_sequence"])
                     )
                 else:
-                    adapter_lengths.append(len(adapter["sequence"]))
-    max_seq_len = max(adapter_lengths)
+                    lengths.append(len(stats["sequence"]))
+        return max(lengths)
 
-    _print = Printer(outfile)
-    _print_title = TitlePrinter(outfile)
-    _print_adj = RowPrinter(outfile, (12, 5), pct=True, indent=(INDENT, ""))
-
-    seq_printer = RowPrinter(
-        outfile, (max_seq_len, 14, 3, max_width), ("<", "<", ">")
-    )
-    hist_printer = RowPrinter(outfile, justification=(">", ">", ">", ">", "<"))
-
-    def print_error_ranges(adapter_length, error_rate):
-        _print("No. of allowed errors:")
-        prev = 0
-        for errors in range(1, int(error_rate * adapter_length) + 1):
-            range_start = int(errors / error_rate)
-            _print(
-                "{0}-{1} bp: {2};".format(prev, range_start - 1, errors - 1),
-                end=" ",
-            )
-            prev = range_start
-        if prev == adapter_length:
-            _print(
-                "{0} bp: {1}".format(
-                    adapter_length, int(error_rate * adapter_length)
+    def write(self):
+        for side in range(2 if self.paired else 1):
+            if self.adapters[side] is None:
+                continue
+            header = "Adapter {}"
+            if self.paired:
+                header = (
+                    "First read: " if side == 0 else "Second read: "
+                ) + header
+            for name, stats in self.adapters[side].items():
+                if stats is not None:
+                    self._write_one(header.format(name), stats)
+        if self.incomplete_warning:
+            self.emit("WARNING:")
+            self.emit(
+                "\n".join(
+                    INDENTED.wrap(
+                        "One or more of your adapter sequences may be "
+                        "incomplete. Please see the detailed output above."
+                    )
                 )
+            )
+
+    def _write_one(self, header, stats):
+        self.title(header, level=1)
+        kind = stats["where"]["name"]
+        if kind == "linked":
+            front_len = len(stats["front_sequence"])
+            back_len = len(stats["back_sequence"])
+            self.seq_row.print_rows(
+                (
+                    "{}...{}".format(
+                        stats["front_sequence"], stats["back_sequence"]
+                    ),
+                    "linked",
+                    "{}+{}".format(front_len, back_len),
+                    stats["total_front"],
+                    stats["total_back"],
+                ),
+                header=(
+                    "Sequence", "Type", "Length", "Trimmed (x)",
+                    "Half matches (x)",
+                ),
             )
         else:
-            _print(
-                "{0}-{1} bp: {2}".format(
-                    prev, adapter_length, int(error_rate * adapter_length)
-                )
+            seq_len = len(stats["sequence"])
+            self.seq_row.print_rows(
+                (
+                    stats["sequence"],
+                    stats["where"]["desc"],
+                    seq_len,
+                    stats["total"],
+                ),
+                header=("Sequence", "Type", "Length", "Trimmed (x)"),
             )
-        _print()
+        self.emit()
+        if stats["total"] == 0:
+            return
 
-    def print_histogram(
-        data, adapter_length, num_reads, error_rate, errors, match_probabilities
-    ):
-        hist = []
-        hist_errors = []
-        for length, count in data.items():
-            estimated = (
-                num_reads * match_probabilities[min(length, adapter_length)]
+        if kind == "anywhere":
+            self.emit(
+                stats["total_front"],
+                "times, it overlapped the 5' end of a read",
             )
-            hist.append(
+            self.emit(
+                stats["total_back"],
+                "times, it overlapped the 3' end or was within the read",
+            )
+            self.emit()
+            self._error_ranges(seq_len, stats["max_error_rate"])
+            self.emit("Overview of removed sequences (5'):")
+            self._histogram(stats, "lengths_front", "errors_front", seq_len)
+            self.emit()
+            self.emit("Overview of removed sequences (3' or within):")
+            self._histogram(stats, "lengths_back", "errors_back", seq_len)
+        elif kind == "linked":
+            self._error_ranges(front_len, stats["front_max_error_rate"])
+            self._error_ranges(back_len, stats["back_max_error_rate"])
+            self.emit("Overview of removed sequences at 5' end:")
+            self._histogram(
+                stats, "front_lengths_front", "front_errors_front", front_len,
+                error_rate=stats["front_max_error_rate"],
+                probabilities=stats["front_match_probabilities"],
+            )
+            self.emit()
+            self.emit("Overview of removed sequences at 3' end:")
+            self._histogram(
+                stats, "back_lengths_back", "back_errors_back", back_len,
+                error_rate=stats["back_max_error_rate"],
+                probabilities=stats["back_match_probabilities"],
+            )
+        elif kind in ("front", "prefix"):
+            self._error_ranges(seq_len, stats["max_error_rate"])
+            self.emit("Overview of removed sequences:")
+            self._histogram(stats, "lengths_front", "errors_front", seq_len)
+        elif kind in ("back", "suffix"):
+            self._error_ranges(seq_len, stats["max_error_rate"])
+            if self._adjacent_bases(stats["adjacent_bases"]):
+                self.incomplete_warning = True
+            self.emit("Overview of removed sequences:")
+            self._histogram(stats, "lengths_back", "errors_back", seq_len)
+
+    def _error_ranges(self, adapter_length, error_rate):
+        """'No. of allowed errors' line: the length bands within which
+        0, 1, 2, ... errors are permitted."""
+        self.emit("No. of allowed errors:")
+        band_start = 0
+        max_errors = int(error_rate * adapter_length)
+        for errors in range(1, max_errors + 1):
+            band_end = int(errors / error_rate)
+            self.emit(
+                "{0}-{1} bp: {2};".format(band_start, band_end - 1, errors - 1),
+                end=" ",
+            )
+            band_start = band_end
+        if band_start == adapter_length:
+            self.emit("{0} bp: {1}".format(adapter_length, max_errors))
+        else:
+            self.emit(
+                "{0}-{1} bp: {2}".format(band_start, adapter_length, max_errors)
+            )
+        self.emit()
+
+    def _histogram(
+        self, stats, lengths_key, errors_key, adapter_length,
+        error_rate=None, probabilities=None,
+    ):
+        if error_rate is None:
+            error_rate = stats["max_error_rate"]
+        if probabilities is None:
+            probabilities = stats["match_probabilities"]
+        data = stats[lengths_key]
+        errors = stats[errors_key]
+
+        rows = []
+        error_rows = []
+        for length, count in data.items():
+            capped = min(length, adapter_length)
+            rows.append(
                 [
                     length,
                     count,
-                    estimated,
-                    int(error_rate * min(length, adapter_length)),
+                    self.total_records * probabilities[capped],
+                    int(error_rate * capped),
                 ]
             )
-            hist_errors.append(errors["rows"][length])
+            error_rows.append(errors["rows"][length])
 
-        col_sizes = [len(str(max(col))) for col in zip(*hist_errors)]
+        digit_widths = [len(str(max(col))) for col in zip(*error_rows)]
 
-        def _format_hist_errors(errs):
-            trailing = True
-            hist_str = []
-            for i, err in reversed(list(enumerate(errs))):
-                if trailing and err == 0:
-                    pass
-                else:
-                    trailing = False
-                    hist_str.append(
-                        ("{:<" + str(col_sizes[i]) + "d}").format(err)
-                    )
-            return " ".join(reversed(hist_str))
+        def render_error_counts(counts):
+            cells = []
+            significant = False
+            for i in range(len(counts) - 1, -1, -1):
+                if not significant and counts[i] == 0:
+                    continue  # suppress trailing zeros
+                significant = True
+                cells.append(
+                    ("{:<" + str(digit_widths[i]) + "d}").format(counts[i])
+                )
+            return " ".join(reversed(cells))
 
-        for i, errs in enumerate(hist_errors):
-            hist[i].append(_format_hist_errors(errs))
+        for row, counts in zip(rows, error_rows):
+            row.append(render_error_counts(counts))
 
         error_header = " ".join(
-            ("{:<" + str(e) + "d}").format(i) for i, e in enumerate(col_sizes)
+            ("{:<" + str(width) + "d}").format(i)
+            for i, width in enumerate(digit_widths)
         )
-
-        hist_printer.print_rows(
-            *hist,
+        self.hist_row.print_rows(
+            *rows,
             header=(
                 ("length", ""),
                 ("count", ""),
@@ -508,434 +689,206 @@ def print_adapter_report(adapters, outfile, paired, total_records, max_width):
                 ("error counts", error_header),
             ),
         )
-        hist_printer.newline()
+        self.hist_row.newline()
 
-    def print_adjacent_bases(bases):
+    def _adjacent_bases(self, bases):
+        """Base-composition table before removed 3' adapters; returns True
+        when one base dominates suspiciously."""
         total = sum(bases.values())
         if total == 0:
             return False
-        _print("Bases preceding removed adapters:")
-        warnbase = None
-        for base in ["A", "C", "G", "T", ""]:
-            base_label = base if base != "" else "none/other"
+        self.emit("Bases preceding removed adapters:")
+        dominant = None
+        for base in ("A", "C", "G", "T", ""):
+            label = base if base else "none/other"
             fraction = 1.0 * bases[base] / total
-            _print_adj(base_label, fraction)
-            if fraction > 0.8 and base != "":
-                warnbase = base_label
-        if total >= 20 and warnbase is not None:
-            _print("WARNING:")
-            _print(
+            self.adj_row(label, fraction)
+            if fraction > 0.8 and base:
+                dominant = label
+        if total >= 20 and dominant is not None:
+            self.emit("WARNING:")
+            self.emit(
                 "\n".join(
                     INDENTED.wrap(
                         'The adapter is preceded by "{0}" extremely often. '
                         "The provided adapter sequence may be incomplete. To "
                         'fix the problem, add "{0}" to the beginning of the '
-                        "adapter sequence.".format(warnbase)
+                        "adapter sequence.".format(dominant)
                     )
                 )
             )
-            _print()
+            self.emit()
             return True
-        _print()
+        self.emit()
         return False
 
-    warning = False
-    for pair in range(2 if paired else 1):
-        if adapters[pair] is None:
-            continue
 
-        header = "Adapter {}"
-        if paired:
-            header = ("First read: " if pair == 0 else "Second read: ") + header
-
-        for name, adapter in adapters[pair].items():
-            if adapter is None:
-                continue
-            _print_title(header.format(name), level=1)
-
-            where_name = adapter["where"]["name"]
-            if where_name == "linked":
-                front_len, back_len = [
-                    len(adapter[s])
-                    for s in ("front_sequence", "back_sequence")
-                ]
-                seq_printer.print_rows(
-                    (
-                        "{}...{}".format(
-                            adapter["front_sequence"], adapter["back_sequence"]
-                        ),
-                        "linked",
-                        "{}+{}".format(front_len, back_len),
-                        adapter["total_front"],
-                        adapter["total_back"],
-                    ),
-                    header=(
-                        "Sequence", "Type", "Length", "Trimmed (x)",
-                        "Half matches (x)",
-                    ),
-                )
-            else:
-                seq_len = len(adapter["sequence"])
-                seq_printer.print_rows(
-                    (
-                        adapter["sequence"],
-                        adapter["where"]["desc"],
-                        seq_len,
-                        adapter["total"],
-                    ),
-                    header=("Sequence", "Type", "Length", "Trimmed (x)"),
-                )
-
-            _print()
-
-            if adapter["total"] == 0:
-                continue
-
-            if where_name == "anywhere":
-                _print(
-                    adapter["total_front"],
-                    "times, it overlapped the 5' end of a read",
-                )
-                _print(
-                    adapter["total_back"],
-                    "times, it overlapped the 3' end or was within the read",
-                )
-                _print()
-                print_error_ranges(seq_len, adapter["max_error_rate"])
-                _print("Overview of removed sequences (5'):")
-                print_histogram(
-                    adapter["lengths_front"], seq_len, total_records,
-                    adapter["max_error_rate"], adapter["errors_front"],
-                    adapter["match_probabilities"],
-                )
-                _print()
-                _print("Overview of removed sequences (3' or within):")
-                print_histogram(
-                    adapter["lengths_back"], seq_len, total_records,
-                    adapter["max_error_rate"], adapter["errors_back"],
-                    adapter["match_probabilities"],
-                )
-
-            elif where_name == "linked":
-                print_error_ranges(front_len, adapter["front_max_error_rate"])
-                print_error_ranges(back_len, adapter["back_max_error_rate"])
-                _print("Overview of removed sequences at 5' end:")
-                print_histogram(
-                    adapter["front_lengths_front"], front_len, total_records,
-                    adapter["front_max_error_rate"],
-                    adapter["front_errors_front"],
-                    adapter["front_match_probabilities"],
-                )
-                _print()
-                _print("Overview of removed sequences at 3' end:")
-                print_histogram(
-                    adapter["back_lengths_back"], back_len, total_records,
-                    adapter["back_max_error_rate"],
-                    adapter["back_errors_back"],
-                    adapter["back_match_probabilities"],
-                )
-
-            elif where_name in ("front", "prefix"):
-                print_error_ranges(seq_len, adapter["max_error_rate"])
-                _print("Overview of removed sequences:")
-                print_histogram(
-                    adapter["lengths_front"], seq_len, total_records,
-                    adapter["max_error_rate"], adapter["errors_front"],
-                    adapter["match_probabilities"],
-                )
-
-            elif where_name in ("back", "suffix"):
-                print_error_ranges(seq_len, adapter["max_error_rate"])
-                warning = warning or print_adjacent_bases(
-                    adapter["adjacent_bases"]
-                )
-                _print("Overview of removed sequences:")
-                print_histogram(
-                    adapter["lengths_back"], seq_len, total_records,
-                    adapter["max_error_rate"], adapter["errors_back"],
-                    adapter["match_probabilities"],
-                )
-
-    if warning:
-        _print("WARNING:")
-        _print(
-            "\n".join(
-                INDENTED.wrap(
-                    "One or more of your adapter sequences may be incomplete. "
-                    "Please see the detailed output above."
-                )
-            )
-        )
+# -- read-statistics sections -----------------------------------------------------------
 
 
 def print_pre_trim_report(summary, outfile):
-    pre = summary["pre"]
-    _print_title = TitlePrinter(outfile)
-    _print = Printer(outfile)
-    _print_title("Pre-trimming stats", level=1)
-    for source, data in pre.items():
-        _print_title("Source", level=3, newline=False)
-        for read, src in enumerate(summary["input"]["input_names"], 1):
-            if src is None:
-                continue
-            _print("Read {}: {}".format(read, src))
-        _print()
+    title = TitlePrinter(outfile)
+    emit = Printer(outfile)
+    title("Pre-trimming stats", level=1)
+    for source, data in summary["pre"].items():
+        _print_source_block(summary, title, emit)
         print_stats_report(data, outfile)
 
 
 def print_post_trim_report(summary, outfile):
-    post = summary["post"]
-    _print_title = TitlePrinter(outfile)
-    _print = Printer(outfile)
-    _print_title("Post-trimming stats", level=1)
-    for dest, stats in post.items():
-        _print_title("Destination: {}".format(dest), level=2)
+    title = TitlePrinter(outfile)
+    emit = Printer(outfile)
+    title("Post-trimming stats", level=1)
+    for dest, stats in summary["post"].items():
+        title("Destination: {}".format(dest), level=2)
         for source, data in stats.items():
-            _print_title("Source", level=3, newline=False)
-            for read, src in enumerate(summary["input"]["input_names"], 1):
-                if src is None:
-                    continue
-                _print("Read {}: {}".format(read, src))
-            _print()
+            _print_source_block(summary, title, emit)
             print_stats_report(data, outfile)
 
 
-class StatsPrinter(metaclass=ABCMeta):
-    def __init__(self, data, outfile):
-        self._data = data
-        self._title_printer = TitlePrinter(outfile)
-        max_count = self._max_count()
-        max_width = len(str(max_count))
-        max_width += (max_width // 3) + 1
-        self._printer = RowPrinter(outfile, (35, max_width))
-
-    @abstractmethod
-    def _max_count(self):
-        pass
-
-    def _print_histogram(self, title, hist1, hist2=None):
-        self._title_printer(title, level=2)
-        if hist1 is None:
-            self._printer("No Data")
-            return
-        if hist2:
-            hist = (
-                (key, hist1.get(key, 0), hist2.get(key, 0))
-                for key in sorted(set(hist1.keys()) | set(hist2.keys()))
-            )
-        else:
-            hist = sorted(hist1.items(), key=lambda x: x[0])
-        for histbin in hist:
-            self._printer(*histbin)
-
-    def _print_base_histogram(self, title, hist, extra_width=4, index_name="Pos"):
-        self._title_printer(title, level=2)
-        if hist is None:
-            self._printer("No Data")
-            return
-        self._printer(
-            index_name, *hist["columns"], header=True, extra_width=extra_width
-        )
-        for pos, row in hist["rows"].items():
-            total_count = sum(row)
-            base_pcts = (
-                round(count * 100 / total_count, 1) for count in row
-            )
-            self._printer(pos, *base_pcts, extra_width=extra_width)
-
-    def _print_tile_histogram(self, title, hist):
-        if hist is None:
-            self._title_printer(title, level=2)
-            self._printer("No Data")
-            return
-        ncol = len(hist["columns"])
-        max_tile_width = (
-            max(4, len(str(math.ceil(self._data["read1"]["counts"] / ncol)))) + 1
-        )
-        self._print_base_histogram(
-            title, hist, extra_width=max_tile_width, index_name="Tile"
-        )
-
-    def _print_tile_base_histogram(self, title, hist):
-        self._title_printer(title, level=2)
-        if hist is None:
-            self._printer("No Data")
-            return
-        quals = hist["columns"]
-        tiles = hist["columns2"]
-        ncol = len(tiles)
-        max_tile_width = (
-            max(4, len(str(math.ceil(self._data["read1"]["counts"] / ncol)))) + 1
-        )
-        self._printer("Pos", *tiles, header=True, extra_width=max_tile_width)
-        for pos, tile_rows in hist["rows"].items():
-            self._printer(
-                pos,
-                *(
-                    weighted_median(list(quals), list(tile_counts))
-                    for tile_counts in tile_rows.values()
-                ),
-                extra_width=max_tile_width,
-            )
-
-    @abstractmethod
-    def print_header(self):
-        pass
-
-    @abstractmethod
-    def print_counts(self):
-        pass
-
-    @abstractmethod
-    def print_histogram(self, title, key1, key2):
-        pass
-
-    @abstractmethod
-    def print_tile_histograms(self, title, key):
-        pass
-
-    @abstractmethod
-    def print_base_histograms(self, title, key):
-        pass
-
-    @abstractmethod
-    def print_tile_base_histograms(self, title, key):
-        pass
-
-
-class SingleEndStatsPrinter(StatsPrinter):
-    def _max_count(self):
-        return self._data["read1"]["counts"]
-
-    def print_header(self):
-        self._printer("", "Read1", header=True)
-
-    def print_counts(self):
-        self._printer("Reads:", self._data["read1"]["counts"])
-        self._printer()
-
-    def print_histogram(self, title, key1, key2):
-        if key1 in self._data["read1"]:
-            self._print_histogram(title, self._data["read1"][key1][key2])
-            self._printer()
-
-    def print_tile_histograms(self, title, key):
-        if key in self._data["read1"]:
-            self._print_tile_histogram(
-                "Read 1 {}".format(title), self._data["read1"][key]
-            )
-            self._printer()
-
-    def print_base_histograms(self, title, key):
-        if key in self._data["read1"]:
-            self._print_base_histogram(
-                "Read 1 {}".format(title), self._data["read1"][key]
-            )
-            self._printer()
-
-    def print_tile_base_histograms(self, title, key):
-        if key in self._data["read1"]:
-            self._print_tile_base_histogram(
-                "Read 1 {}".format(title), self._data["read1"][key]
-            )
-
-
-class PairedEndStatsPrinter(StatsPrinter):
-    def _max_count(self):
-        return max(
-            self._data["read1"]["counts"], self._data["read2"]["counts"]
-        )
-
-    def print_header(self):
-        self._printer("", "Read1", "Read2", header=True)
-
-    def print_counts(self):
-        self._printer(
-            "Read pairs:",
-            self._data["read1"]["counts"],
-            self._data["read2"]["counts"],
-        )
-        self._printer()
-
-    def print_histogram(self, title, key1, key2):
-        if key1 in self._data["read1"]:
-            self._print_histogram(
-                title,
-                self._data["read1"][key1][key2],
-                self._data["read2"][key1][key2],
-            )
-            self._printer()
-
-    def print_tile_histograms(self, title, key):
-        if "tile_sequence_qualities" in self._data["read1"]:
-            self._print_tile_histogram(
-                "Read 1 {}".format(title), self._data["read1"][key]
-            )
-            self._printer()
-            self._print_tile_histogram(
-                "Read 2 {}".format(title), self._data["read2"][key]
-            )
-            self._printer()
-
-    def print_base_histograms(self, title, key):
-        if key in self._data["read1"]:
-            self._print_base_histogram(
-                "Read 1 {}".format(title), self._data["read1"][key]
-            )
-            self._printer()
-            self._print_base_histogram(
-                "Read 2 {}".format(title), self._data["read2"][key]
-            )
-            self._printer()
-
-    def print_tile_base_histograms(self, title, key):
-        if key in self._data["read1"]:
-            self._print_tile_base_histogram(
-                "Read 1 {}".format(title), self._data["read1"][key]
-            )
-            self._printer()
-            self._print_tile_base_histogram(
-                "Read 2 {}".format(title), self._data["read2"][key]
-            )
-            self._printer()
+def _print_source_block(summary, title, emit):
+    title("Source", level=3, newline=False)
+    for read, src in enumerate(summary["input"]["input_names"], 1):
+        if src is not None:
+            emit("Read {}: {}".format(read, src))
+    emit()
 
 
 def print_stats_report(data, outfile):
-    paired = "read2" in data
-    if paired:
-        printer = PairedEndStatsPrinter(data, outfile)
-    else:
-        printer = SingleEndStatsPrinter(data, outfile)
-
-    printer.print_header()
-
-    printer.print_counts()
-    printer.print_histogram("Sequence lengths:", "lengths", "hist")
-    printer.print_histogram("Sequence qualities:", "qualities", "hist")
-    printer.print_histogram("Sequence GC content (%)", "gc", "hist")
-    printer.print_tile_histograms(
-        "per-tile sequence qualities (%)", "tile_sequence_qualities"
-    )
-
-    printer.print_base_histograms("base qualities (%)", "base_qualities")
-    printer.print_base_histograms("base composition (%)", "bases")
-    printer.print_tile_base_histograms(
-        "per-tile base qualities (%)", "tile_base_qualities"
-    )
+    _StatsSection(data, outfile).write()
 
 
-def sizeof(*x, seps=True, prec=1):
-    """Largest formatted width among values (for column sizing)."""
-    if isinstance(x[0], str):
-        return max(len(s) for s in x)
-    if isinstance(x[0], int):
-        numlen = len(str(max(x)))
-        if seps:
-            numlen += numlen // 3
-    elif isinstance(x[0], float):
-        numlen = len(str(round(max(x), prec)))
-        if seps:
-            numlen += (numlen - prec - 1) // 3
-    else:
-        raise ValueError("Unexpected data type: {}".format(x[0].__class__))
-    return numlen
+class _StatsSection:
+    """FastQC-style tables for one stats block; one column per mate."""
+
+    def __init__(self, data, outfile):
+        self._data = data
+        self._reads = ["read1", "read2"] if "read2" in data else ["read1"]
+        self._title = TitlePrinter(outfile)
+        counts = max(self._data[r]["counts"] for r in self._reads)
+        width = len(str(counts))
+        width += (width // 3) + 1
+        self._row = RowPrinter(outfile, (35, width))
+
+    @property
+    def paired(self):
+        return len(self._reads) > 1
+
+    def write(self):
+        row = self._row
+        row("", *("Read{}".format(i + 1) for i in range(len(self._reads))),
+            header=True)
+        row(
+            "Read pairs:" if self.paired else "Reads:",
+            *(self._data[r]["counts"] for r in self._reads),
+        )
+        row()
+        self._histogram("Sequence lengths:", "lengths", "hist")
+        self._histogram("Sequence qualities:", "qualities", "hist")
+        self._histogram("Sequence GC content (%)", "gc", "hist")
+        self._tile_histograms(
+            "per-tile sequence qualities (%)", "tile_sequence_qualities"
+        )
+        self._base_histograms("base qualities (%)", "base_qualities")
+        self._base_histograms("base composition (%)", "bases")
+        self._tile_base_histograms(
+            "per-tile base qualities (%)", "tile_base_qualities"
+        )
+
+    # -- table renderers ---------------------------------------------------
+
+    def _histogram(self, heading, key1, key2):
+        if key1 not in self._data["read1"]:
+            return
+        self._title(heading, level=2)
+        hists = [self._data[r][key1][key2] for r in self._reads]
+        if hists[0] is None:
+            self._row("No Data")
+        else:
+            if self.paired:
+                keys = sorted(set(hists[0]) | set(hists[1]))
+                body = (
+                    (k, hists[0].get(k, 0), hists[1].get(k, 0)) for k in keys
+                )
+            else:
+                body = sorted(hists[0].items(), key=lambda x: x[0])
+            for row in body:
+                self._row(*row)
+        self._row()
+
+    def _base_table(self, heading, hist, extra_width=4, index_name="Pos"):
+        self._title(heading, level=2)
+        if hist is None:
+            self._row("No Data")
+            return
+        self._row(
+            index_name, *hist["columns"], header=True, extra_width=extra_width
+        )
+        for pos, counts in hist["rows"].items():
+            total = sum(counts)
+            self._row(
+                pos,
+                *(round(count * 100 / total, 1) for count in counts),
+                extra_width=extra_width,
+            )
+
+    def _tile_width(self, ncolumns):
+        per_tile = math.ceil(self._data["read1"]["counts"] / ncolumns)
+        return max(4, len(str(per_tile))) + 1
+
+    def _tile_histograms(self, heading, key):
+        if key not in self._data["read1"]:
+            return
+        for read in self._reads:
+            hist = self._data[read][key]
+            label = "Read {} {}".format(read[-1], heading)
+            if hist is None:
+                self._title(label, level=2)
+                self._row("No Data")
+            else:
+                self._base_table(
+                    label,
+                    hist,
+                    extra_width=self._tile_width(len(hist["columns"])),
+                    index_name="Tile",
+                )
+            self._row()
+
+    def _base_histograms(self, heading, key):
+        if key not in self._data["read1"]:
+            return
+        for read in self._reads:
+            self._base_table(
+                "Read {} {}".format(read[-1], heading), self._data[read][key]
+            )
+            self._row()
+
+    def _tile_base_histograms(self, heading, key):
+        if key not in self._data["read1"]:
+            return
+        for read in self._reads:
+            self._one_tile_base_histogram(
+                "Read {} {}".format(read[-1], heading), self._data[read][key]
+            )
+            if self.paired:
+                self._row()
+
+    def _one_tile_base_histogram(self, heading, hist):
+        """Median quality per (position, tile)."""
+        self._title(heading, level=2)
+        if hist is None:
+            self._row("No Data")
+            return
+        quals = hist["columns"]
+        tiles = hist["columns2"]
+        width = self._tile_width(len(tiles))
+        self._row("Pos", *tiles, header=True, extra_width=width)
+        for pos, tile_rows in hist["rows"].items():
+            self._row(
+                pos,
+                *(
+                    weighted_median(list(quals), list(counts))
+                    for counts in tile_rows.values()
+                ),
+                extra_width=width,
+            )
