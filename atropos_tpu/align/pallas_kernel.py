@@ -4,10 +4,28 @@ The XLA version (:mod:`atropos_tpu.align.batched`) expresses the column
 scan as ~40 separate HLO ops per column; every op round-trips VMEM and
 pays dispatch overhead. This kernel runs the entire j-loop *inside* one
 Pallas program: the DP state (two int32 planes of shape [m+1, B_BLK])
-lives in registers/VMEM for the whole read batch block, the per-column
-update is fused into one vector pipeline, and the insertion chain is a
-hand-rolled Kogge-Stone over the row axis (log2(m+1) combine steps of the
-same min-affine monoid used by the XLA version — identical results).
+lives in registers/VMEM for the whole read batch block and the
+per-column update is fused into one vector pipeline.
+
+Two representation tricks keep the per-column op count minimal:
+
+- **Scaled-packed cell state.** The cost plane is carried as
+  ``pack = cost * SUB_BASE`` (sub-key bits zeroed between columns), so
+  all cost arithmetic/comparisons happen directly on the packed value —
+  no integer divide or multiply anywhere in the column loop; tie-break
+  sub-keys are added into the low bits only while candidates compete
+  within a column, then masked off before writeback.
+
+- **Bounded insertion relaxation.** The within-column insertion chain
+  (an inclusive min-affine scan down the rows) is computed by
+  ``d_max = floor(k / ins_cost)`` sequential relaxation steps
+  ``P[i] = min(P[i], P[i-1] + ins_cost)`` (match cells are immune —
+  they are forced constants). This is bit-exact: a chain of t insertions
+  adds ``t * ins_cost`` to a non-decreasing path cost, and every
+  observable result (band membership, candidate selection, early exit)
+  only inspects cells with cost <= k, so contributions from more than
+  ``d_max`` rows above can never surface, and cells the truncation
+  leaves higher are > k and only produce > k descendants.
 
 The grid partitions the read batch into lane-sized blocks; each program
 aligns the adapter against its block independently (pure data
@@ -101,9 +119,18 @@ def _dp_kernel(
     stop_in_query = bool(flags & STOP_WITHIN_SEQ2)
 
     SUB_BASE = _pow2(2 * m + 2)
+    LOG_SUB = SUB_BASE.bit_length() - 1
+    SUB_MASK = SUB_BASE - 1
     PAY_BASE = _pow2(m + 1)
+    LOG_PAY = PAY_BASE.bit_length() - 1
+    PAY_MASK = PAY_BASE - 1
     CLAMP = 1 << 20
-    shift_unit = min(ins_cost, CLAMP)
+    # packed-state bounds: per column the cost field can grow by at most
+    # max(del_cost, 1); when that keeps every pack below the relax
+    # sentinel, no in-loop clamping is needed at all
+    growth = max(del_cost, 1)
+    need_clamp = CLAMP + (L + 1) * growth > (1 << 22)
+    CLAMP_PACK = CLAMP * SUB_BASE + SUB_MASK
 
     B = lengths_ref.shape[1]
     M1 = m + 1
@@ -133,7 +160,7 @@ def _dp_kernel(
     else:
         cost0 = jnp.minimum(rows, min_n) * ins_cost
         origin0 = min_n - rows
-    cost0 = jnp.minimum(cost0, CLAMP)
+    pack0 = jnp.minimum(cost0, CLAMP) * SUB_BASE
     pay0 = (origin0 + m) * PAY_BASE
 
     last0 = jnp.full((1, B), m if start_in_ref else min(m, k + 1), jnp.int32)
@@ -168,37 +195,34 @@ def _dp_kernel(
             out = out + (length >= b_idx).astype(jnp.int32) * step
         return out
 
-    # Insertion-chain scan distance bound: a chain of t insertions adds
-    # t*ins_cost to a non-decreasing path cost, and every observable
-    # result (band membership, candidate selection, early exit) only
-    # inspects cells with cost <= k, so contributions from more than
-    # floor(k/ins_cost) rows above can never surface — truncating the
-    # Kogge-Stone to that window is bit-exact (values it leaves higher
-    # stay > k, and > k cells only produce > k descendants). For the
-    # common TruSeq case (m=33, k=3, ins_cost=1) this is 2 combine steps
-    # instead of 6.
-    d_max = 0 if shift_unit > k else min(M1 - 1, k // shift_unit)
-    steps = []
-    s = 1
-    while (s << 1) - 1 <= d_max:  # after steps 1..s, covered distance 2s-1
-        steps.append(s)
-        s *= 2
-    if (1 << len(steps)) - 1 < d_max:
-        steps.append(s)
+    # Insertion relaxation distance bound (see module docstring): only
+    # chains of at most floor(k/ins_cost) insertions can ever be
+    # observable. For the common TruSeq case (m=33, k=3, ins_cost=1) this
+    # is 3 cheap relaxation steps.
+    d_max = 0 if ins_cost > k else min(M1 - 1, k // ins_cost)
+    SHIFT = min(ins_cost, CLAMP) * SUB_BASE
+
+    pos_i = rows[1:M1, 0:1]
+    sub_diag = m + pos_i      # diagonal-born candidates (match or mismatch)
+    sub_del = m + pos_i       # deletion-born candidates
+    sub_diag_mm = m - pos_i   # mismatch diagonal candidates
 
     def column(j, carry):
-        cost_c, pay_c, last, best, done = carry
+        pack_c, pay_c, last, best, done = carry
         b_ref_stop, b_query_stop, b_cost, b_origin, b_matches = best
         qc = reads_ref[pl.ds(j - 1, 1), :]  # [1, B]
         active = (j > min_n) & (j <= max_n) & (done == 0)
 
-        # row 0 (reference ``_align.pyx:385-388``)
+        # row 0 (reference ``_align.pyx:385-388``); state sub-bits are
+        # zero, so adding the sub-key is exact
         if start_in_query:
-            new0_cost = cost_c[0:1, :]
-            new0_pay = (j + m) * PAY_BASE + pay_c[0:1, :] % PAY_BASE
+            new0_pack = pack_c[0:1, :] + m
+            new0_pay = (j + m) * PAY_BASE + (pay_c[0:1, :] & PAY_MASK)
         else:
-            new0_cost = jnp.full((1, B), jnp.minimum(j * ins_cost, CLAMP),
-                                 jnp.int32)
+            new0_pack = jnp.full(
+                (1, B), jnp.minimum(j * ins_cost, CLAMP) * SUB_BASE + m,
+                jnp.int32,
+            )
             new0_pay = pay_c[0:1, :]
 
         if compare_ascii:
@@ -206,79 +230,57 @@ def _dp_kernel(
         else:
             eq = (ref_col & qc) != 0
 
-        diag_cost = cost_c[0:m, :]
+        # local candidate per cell: match -> forced diag; mismatch ->
+        # min(diag + 1, old + del_cost), diag winning ties. All cost
+        # arithmetic happens on the scaled pack directly.
+        diag_pack = pack_c[0:m, :]
         diag_pay = pay_c[0:m, :]
-        del_cost_arr = cost_c[1:M1, :] + del_cost
-        diag_m_cost = diag_cost + 1
-        pick_diag = diag_m_cost <= del_cost_arr
-        pos_i = rows[1:M1, 0:1]
-        loc_cost = jnp.where(pick_diag, diag_m_cost, del_cost_arr)
+        del_pack = pack_c[1:M1, :] + (del_cost * SUB_BASE + sub_del)
+        diag_mm_pack = diag_pack + (SUB_BASE + sub_diag_mm)
+        pick_diag = diag_mm_pack <= del_pack
+        loc_pack = jnp.where(pick_diag, diag_mm_pack, del_pack)
         loc_pay = jnp.where(pick_diag, diag_pay, pay_c[1:M1, :])
-        loc_sub = jnp.where(pick_diag, m - pos_i, m + pos_i)
 
-        elem_cost = jnp.where(eq, diag_cost, loc_cost)
+        elem_pack = jnp.where(eq, diag_pack + sub_diag, loc_pack)
         elem_pay = jnp.where(eq, diag_pay + 1, loc_pay)
-        elem_sub = jnp.where(eq, m + pos_i, loc_sub)
-        elem_t = jnp.where(eq, 0, 1)
+        if need_clamp:
+            elem_pack = jnp.minimum(elem_pack, CLAMP_PACK)
 
-        pack = jnp.concatenate(
-            [new0_cost * SUB_BASE + m, elem_cost * SUB_BASE + elem_sub], axis=0
-        )
+        pack = jnp.concatenate([new0_pack, elem_pack], axis=0)
         pay = jnp.concatenate([new0_pay, elem_pay], axis=0)
-        t_arr = jnp.concatenate([jnp.zeros((1, B), jnp.int32), elem_t], axis=0)
-        const = jnp.concatenate(
-            [jnp.ones((1, B), jnp.int32), eq.astype(jnp.int32)], axis=0
-        )
-
-        # Kogge-Stone inclusive scan of the min-affine monoid down the rows.
-        # Rows shifted past the top combine with the monoid identity:
-        # a non-constant element with +inf cost (pack > any real pack, so
-        # combine(identity, G) == G).
-        for s in steps:
-            # F = value s rows above (earlier); shift down by padding
-            f_pack = jnp.concatenate(
-                [jnp.full((s, B), 1 << 30, jnp.int32), pack[: M1 - s]],
+        # insertion relaxation over rows 1..m (row 0 and match cells are
+        # immune: a match cell's value is forced to the diagonal)
+        for _ in range(d_max):
+            cand = pack[0:m, :] + SHIFT
+            tail_pack = pack[1:M1, :]
+            take = (cand < tail_pack) & (~eq)
+            pack = jnp.concatenate(
+                [pack[0:1, :], jnp.where(take, cand, tail_pack)], axis=0
+            )
+            pay = jnp.concatenate(
+                [pay[0:1, :], jnp.where(take, pay[0:m, :], pay[1:M1, :])],
                 axis=0,
             )
-            f_pay = jnp.concatenate(
-                [jnp.zeros((s, B), jnp.int32), pay[: M1 - s]], axis=0
-            )
-            f_t = jnp.concatenate(
-                [jnp.zeros((s, B), jnp.int32), t_arr[: M1 - s]], axis=0
-            )
-            f_const = jnp.concatenate(
-                [jnp.zeros((s, B), jnp.int32), const[: M1 - s]], axis=0
-            )
-            shifted = f_pack + jnp.minimum(t_arr * shift_unit, CLAMP) * SUB_BASE
-            g_wins = pack <= shifted
-            new_pack = jnp.where(g_wins, pack, shifted)
-            new_pay = jnp.where(g_wins, pay, f_pay)
-            gc = const == 1
-            pack = jnp.where(gc, pack, new_pack)
-            pay = jnp.where(gc, pay, new_pay)
-            t_arr = jnp.where(gc, t_arr, f_t + t_arr)
-            const = jnp.maximum(const, f_const)
 
-        new_cost = jnp.minimum(pack // SUB_BASE, CLAMP)
-        new_pay = pay
+        rows_le_last = rows <= last
+        write = rows_le_last & (active != 0)
+        pack_c = jnp.where(write, pack & ~SUB_MASK, pack_c)
+        pay_c = jnp.where(write, pay, pay_c)
 
-        write = (active != 0) & (((rows <= last) & (rows >= 1)) | (rows == 0))
-        cost_c = jnp.where(write, new_cost, cost_c)
-        pay_c = jnp.where(write, new_pay, pay_c)
-
-        in_band = (rows <= last) & (cost_c <= k)
+        in_band = rows_le_last & (pack_c < (k + 1) * SUB_BASE)
         L_idx = jnp.max(jnp.where(in_band, rows, -1), axis=0, keepdims=True)
         new_last = jnp.minimum(L_idx + 1, m)
 
         if stop_in_query:
             at_bottom = active & (L_idx == m)
-            org_m = pay_c[m : m + 1, :] // PAY_BASE - m
-            mat_m = pay_c[m : m + 1, :] % PAY_BASE
+            pay_m = pay_c[m : m + 1, :]
+            org_m = jnp.right_shift(pay_m, LOG_PAY) - m
+            mat_m = pay_m & PAY_MASK
             # clip like the final-column path: the PAY_BASE packing keeps
             # origin >= -m, but an out-of-range payload must reject (the
             # boundary form of thresh_of would otherwise extrapolate)
             length_m = jnp.clip(m + jnp.minimum(org_m, 0), 0, m)
-            cost_m = cost_c[m : m + 1, :]
+            cost_m = jnp.right_shift(pack_c[m : m + 1, :], LOG_SUB)
             thresh_m = thresh_of(length_m)
             ok = (
                 at_bottom
@@ -297,12 +299,13 @@ def _dp_kernel(
 
         last = jnp.where(active, new_last, last)
         best = (b_ref_stop, b_query_stop, b_cost, b_origin, b_matches)
-        return (cost_c, pay_c, last, best, done)
+        return (pack_c, pay_c, last, best, done)
 
-    cost_c, pay_c, last, best, done = lax.fori_loop(
-        1, L + 1, column, (cost0, pay0, last0, best0, done0),
+    pack_c, pay_c, last, best, done = lax.fori_loop(
+        1, L + 1, column, (pack0, pay0, last0, best0, done0),
         unroll=UNROLL,
     )
+    cost_c = jnp.right_shift(pack_c, LOG_SUB)
     b_ref_stop, b_query_stop, b_cost, b_origin, b_matches = best
 
     org_c = pay_c // PAY_BASE - m
