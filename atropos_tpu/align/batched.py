@@ -167,18 +167,49 @@ class BatchAligner:
         self.k = int(max_error_rate * m)
         self._compare_ascii = not (wildcard_ref or wildcard_query)
 
-        self._kernel = jax.jit(
-            functools.partial(
-                _locate_kernel,
-                m=m,
-                k=self.k,
-                flags=flags,
-                min_overlap=min_overlap,
-                ins_cost=indel_cost,
-                del_cost=indel_cost,
-                compare_ascii=self._compare_ascii,
-            )
+        self._kernel_fn = functools.partial(
+            _locate_kernel,
+            m=m,
+            k=self.k,
+            flags=flags,
+            min_overlap=min_overlap,
+            ins_cost=indel_cost,
+            del_cost=indel_cost,
+            compare_ascii=self._compare_ascii,
         )
+        self._kernel = jax.jit(self._kernel_fn)
+        self._sharded_kernel = None
+
+    def _get_sharded_kernel(self, mesh):
+        """The same kernel wrapped in shard_map over the local device mesh:
+        the batch axis is split across devices (pure data parallelism —
+        every shard runs the identical program on its read slice)."""
+        if self._sharded_kernel is None:
+            from jax.sharding import PartitionSpec as P
+
+            from atropos_tpu.parallel import READS_AXIS, _shard_map
+
+            in_specs = (
+                P(READS_AXIS, None),  # reads [B, L]
+                P(READS_AXIS),        # lengths [B]
+                P(None),              # ref
+                P(None),              # thresholds
+                P(None, READS_AXIS),  # cost0 [m+1, B]
+                P(None, READS_AXIS),  # pay0
+                P(None, READS_AXIS),  # last0
+                P(None, READS_AXIS),  # done0
+            )
+            out_specs = {
+                key: P(READS_AXIS)
+                for key in (
+                    "found", "start1", "stop1", "start2", "stop2",
+                    "matches", "cost",
+                )
+            }
+            self._sharded_kernel = jax.jit(
+                _shard_map(self._kernel_fn, mesh, in_specs, out_specs)
+            )
+        return self._sharded_kernel
 
     def locate_batch(self, reads_u8, lengths):
         """Align the adapter to every read in the batch.
@@ -198,6 +229,21 @@ class BatchAligner:
         """
         translated = self._query_lut_np[np.asarray(reads_u8)]
         lengths = np.asarray(lengths, dtype=np.int32)
+
+        from atropos_tpu.parallel import SHARD_COUNTS, data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+        batch = lengths.shape[0]
+        kernel = self._kernel
+        if mesh is not None:
+            ndev = mesh.devices.size
+            pad = -batch % ndev
+            if pad:
+                translated = np.pad(translated, ((0, pad), (0, 0)))
+                lengths = np.pad(lengths, (0, pad))
+            kernel = self._get_sharded_kernel(mesh)
+            SHARD_COUNTS["sharded_calls"] += 1
+
         init = _initial_state_np(
             lengths,
             m=self.m,
@@ -205,13 +251,16 @@ class BatchAligner:
             flags=self.flags,
             ins_cost=self.indel_cost,
         )
-        return self._kernel(
+        out = kernel(
             jnp.asarray(translated),
             jnp.asarray(lengths),
             self._ref_arr,
             self._thresholds,
             *(jnp.asarray(x) for x in init),
         )
+        if mesh is not None and lengths.shape[0] != batch:
+            out = {key: val[:batch] for key, val in out.items()}
+        return out
 
     def locate(self, query):
         """Scalar-API convenience wrapper (single read)."""

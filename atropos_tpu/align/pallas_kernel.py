@@ -408,8 +408,8 @@ class PallasAligner:
         self._compare_ascii = not (wildcard_ref or wildcard_query)
         self._kernels = {}
 
-    def _get_kernel(self, L, B):
-        key = (L, B)
+    def _get_kernel(self, L, B, ndev=1):
+        key = (L, B, ndev)
         if key not in self._kernels:
             m = self.m
             if self._compare_ascii:
@@ -431,12 +431,14 @@ class PallasAligner:
                 ref_bytes=ref_bytes,
                 thresholds=tuple(int(t) for t in self._thresholds_np),
             )
-            grid = (B // self.BLOCK,)
+            # per-shard batch width: the grid runs over this device's slice
+            B_shard = B // ndev
+            grid = (B_shard // self.BLOCK,)
             blk = self.BLOCK
 
             call = pl.pallas_call(
                 kernel,
-                out_shape=jax.ShapeDtypeStruct((8, B), jnp.int32),
+                out_shape=jax.ShapeDtypeStruct((8, B_shard), jnp.int32),
                 grid=grid,
                 in_specs=[
                     pl.BlockSpec((L, blk), lambda i: (0, i),
@@ -448,16 +450,40 @@ class PallasAligner:
                                        memory_space=pltpu.VMEM),
                 interpret=self.INTERPRET,
             )
+            if ndev > 1:
+                # multi-chip: split the batch (lane) axis over the local
+                # mesh; each device runs the identical kernel on its slice
+                from jax.sharding import PartitionSpec as P
+
+                from atropos_tpu.parallel import (
+                    READS_AXIS,
+                    _shard_map,
+                    data_parallel_mesh,
+                )
+
+                call = _shard_map(
+                    call,
+                    data_parallel_mesh(),
+                    in_specs=(P(None, READS_AXIS), P(None, READS_AXIS)),
+                    out_specs=P(None, READS_AXIS),
+                )
             self._kernels[key] = jax.jit(call)
         return self._kernels[key]
 
     def locate_batch(self, reads_u8, lengths):
         """Align the adapter against every read; same contract as
         ``BatchAligner.locate_batch``."""
+        from atropos_tpu.parallel import SHARD_COUNTS, data_parallel_mesh
+
         reads_u8 = np.asarray(reads_u8)
         lengths = np.asarray(lengths, dtype=np.int32)
         batch, L = reads_u8.shape
-        pad_b = ((batch + self.BLOCK - 1) // self.BLOCK) * self.BLOCK
+        mesh = data_parallel_mesh()
+        ndev = mesh.devices.size if mesh is not None else 1
+        if ndev > 1:
+            SHARD_COUNTS["sharded_calls"] += 1
+        tile = self.BLOCK * ndev
+        pad_b = ((batch + tile - 1) // tile) * tile
         L_pad = max(8, L)
 
         if self._compare_ascii:
@@ -474,7 +500,7 @@ class PallasAligner:
         len_pad = np.zeros((1, pad_b), dtype=np.int32)
         len_pad[0, :batch] = lengths
 
-        kernel = self._get_kernel(L_pad, pad_b)
+        kernel = self._get_kernel(L_pad, pad_b, ndev)
         out = np.asarray(kernel(jnp.asarray(reads_T), jnp.asarray(len_pad)))
         return dict(
             found=out[0, :batch].astype(bool),

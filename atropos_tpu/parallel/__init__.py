@@ -14,6 +14,7 @@ quality trimming, derive keep-intervals, and reduce the trim statistics
 across the mesh.
 """
 import functools
+import os
 
 import numpy as np
 
@@ -28,6 +29,44 @@ from atropos_tpu.align.batched import (
 )
 
 READS_AXIS = "reads"
+
+#: telemetry: number of batched-aligner calls that ran sharded over the
+#: local device mesh (tests assert the CLI trim path actually shards).
+SHARD_COUNTS = {"sharded_calls": 0}
+
+_DP_MESH_CACHE = []  # [] = undecided, [None] = off, [Mesh] = on
+
+
+def data_parallel_mesh():
+    """The in-process data-parallel mesh over all local devices, or None.
+
+    This is what replaces the reference's one-node worker pool
+    (``atropos/commands/multicore.py:235-402``): instead of forking
+    ``threads-1`` workers, one process shards every kernel batch over the
+    local chips. Enabled by default whenever more than one accelerator
+    device is visible; on CPU backends virtual devices are host threads
+    (no speedup), so sharding there must be forced with
+    ``ATROPOS_TPU_SHARD=1`` (as the sharding tests and the multi-chip
+    dryrun do). ``ATROPOS_TPU_SHARD=0`` disables sharding everywhere.
+    """
+    if _DP_MESH_CACHE:
+        return _DP_MESH_CACHE[0]
+    mode = os.environ.get("ATROPOS_TPU_SHARD", "").strip().lower()
+    if mode in ("0", "false", "no", "off"):
+        _DP_MESH_CACHE.append(None)
+        return None
+    force = mode in ("1", "true", "yes", "on")
+    devices = jax.local_devices()
+    if len(devices) < 2 or (not force and devices[0].platform == "cpu"):
+        _DP_MESH_CACHE.append(None)
+    else:
+        _DP_MESH_CACHE.append(make_mesh(devices))
+    return _DP_MESH_CACHE[0]
+
+
+def reset_data_parallel_mesh():
+    """Forget the cached mesh decision (tests flip ATROPOS_TPU_SHARD)."""
+    _DP_MESH_CACHE.clear()
 
 
 def make_mesh(devices=None, axis_name=READS_AXIS):

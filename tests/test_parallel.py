@@ -87,3 +87,64 @@ def test_sharded_matches_single_device(eight_devices):
     assert int(single["trimmed"]) == int(sharded["trimmed"])
     assert int(single["bp_kept"]) == int(sharded["bp_kept"])
     assert int(sharded["records"]) == batch
+
+
+def test_cli_trim_shards_over_local_mesh(eight_devices, tmp_path, monkeypatch):
+    """One ``atropos trim`` invocation shards its aligner batches over all
+    local devices: with sharding forced on the virtual 8-device mesh, a
+    golden conformance case stays byte-identical AND the sharded kernel
+    is what actually ran (telemetry counter moves)."""
+    from atropos_tpu import parallel
+    from .conformance_utils import run_trim
+
+    monkeypatch.setenv("ATROPOS_TPU_SHARD", "1")
+    parallel.reset_data_parallel_mesh()
+    before = parallel.SHARD_COUNTS["sharded_calls"]
+    try:
+        mesh = parallel.data_parallel_mesh()
+        assert mesh is not None and mesh.devices.size == 8
+        run_trim(
+            tmp_path,
+            "-b TTAGACATATCTCCGTCG",
+            "small.fastq",
+            "small.fastq",
+        )
+    finally:
+        parallel.reset_data_parallel_mesh()
+    assert parallel.SHARD_COUNTS["sharded_calls"] > before
+
+
+def test_sharded_aligner_matches_unsharded(eight_devices, monkeypatch):
+    """BatchAligner.locate_batch must return identical results sharded
+    over the mesh and unsharded, including a batch size that does not
+    divide the device count (exercises the padding path)."""
+    from atropos_tpu import parallel
+    from atropos_tpu.align.batched import BatchAligner, encode_reads
+    from atropos_tpu.align.flags import (
+        START_WITHIN_SEQ2,
+        STOP_WITHIN_SEQ1,
+        STOP_WITHIN_SEQ2,
+    )
+
+    BACK = START_WITHIN_SEQ2 | STOP_WITHIN_SEQ2 | STOP_WITHIN_SEQ1
+    rng = np.random.RandomState(11)
+    reads = [
+        "".join("ACGT"[b] for b in rng.randint(0, 4, size=rng.randint(20, 70)))
+        for _ in range(37)  # deliberately not a multiple of 8
+    ]
+    reads[3] = reads[3][:25] + "AGATCGGAAGAGC" + reads[3][25:]
+    enc, lengths = encode_reads(reads, pad_to=80)
+
+    def locate(shard):
+        monkeypatch.setenv("ATROPOS_TPU_SHARD", "1" if shard else "0")
+        parallel.reset_data_parallel_mesh()
+        try:
+            aligner = BatchAligner("AGATCGGAAGAGC", 0.1, BACK, min_overlap=3)
+            out = aligner.locate_batch(enc, lengths)
+            return {key: np.asarray(val) for key, val in out.items()}
+        finally:
+            parallel.reset_data_parallel_mesh()
+
+    plain, sharded = locate(False), locate(True)
+    for key in plain:
+        np.testing.assert_array_equal(plain[key], sharded[key], err_msg=key)
