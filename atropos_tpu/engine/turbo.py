@@ -76,18 +76,22 @@ class TurboTrimRunner:
             return None
         if options.action != "trim" or options.times != 1:
             return None
-        # plain single-file FASTQ input/output only
+        # single-file FASTQ input/output (optionally gz/bz2/xz compressed:
+        # input streams through the codec, output goes through the same
+        # xopen writer the scalar pipeline uses, so bytes stay identical)
+        from atropos_tpu.io.compression import splitext_compressed
+
         input1 = options.input1
         if not input1 or not isinstance(input1, str):
             return None
         if options.input2 or options.interleaved_input:
             return None
-        if not input1.endswith((".fastq", ".fq")):
+        if splitext_compressed(input1)[1] not in (".fastq", ".fq"):
             return None
         output = options.output
         if not output or output == "-" or "{name}" in (output or ""):
             return None
-        if not output.endswith((".fastq", ".fq")):
+        if splitext_compressed(output)[1] not in (".fastq", ".fq"):
             return None
         if (
             options.info_file
@@ -211,7 +215,7 @@ class TurboTrimRunner:
         shard_rank = getattr(self.command_runner, "shard_rank", 0)
         shard_count = getattr(self.command_runner, "shard_count", 1)
         chunk_index = 0
-        with open(options.input1, "rb") as infile:
+        with self._open_input(options.input1) as infile:
             carry = b""
             while True:
                 data = infile.read(self.CHUNK_BYTES)
@@ -413,6 +417,19 @@ class TurboTrimRunner:
             out.write(data.decode("ascii"))
 
     # -- helpers ------------------------------------------------------------
+
+    @staticmethod
+    def _open_input(path):
+        """Binary chunk stream over the input: plain file, or streaming
+        decompression for gz/bz2/xz (system gzip subprocess when
+        available, so decompression overlaps compute in its own
+        process)."""
+        from atropos_tpu.io.compression import get_file_opener
+
+        opener = get_file_opener(path)
+        if opener is not None:
+            return opener(path, "rb")
+        return open(path, "rb")
 
     def _find_mod(self, mod_class):
         for entry in self.record_handler.modifiers.modifiers:

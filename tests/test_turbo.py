@@ -119,6 +119,63 @@ def test_turbo_small_fixture(tmp_path):
     assert_files_equal(cutpath("small.fastq"), out)
 
 
+@pytest.mark.parametrize("ext", ["gz", "bz2", "xz"])
+def test_turbo_compressed_input_output(tmp_path, ext):
+    """Compressed in/out runs turbo and stays byte-identical to the scalar
+    pipeline (same xopen writer, so even the compressed bytes match)."""
+    plain = _write_synthetic(str(tmp_path / "in.fastq"), n=300)
+    comp_in = str(tmp_path / ("in.fastq." + ext))
+    from atropos_tpu.io.compression import get_compressor
+
+    module = get_compressor(comp_in)
+    with open(plain, "rb") as src, module.open(comp_in, "wb") as dst:
+        dst.write(src.read())
+
+    config = ["-a", AD, "-q", "20", "-m", "14"]
+    outputs = {}
+    for turbo in (False, True):
+        tag = "{}-{}".format(ext, "t" if turbo else "s")
+        out = str(tmp_path / ("out-{}.fastq.{}".format(tag, ext)))
+        rep = str(tmp_path / ("rep-{}.json".format(tag)))
+        argv = config + [
+            "-se", comp_in, "-o", out,
+            "--no-cache-adapters", "--no-default-adapters",
+            "--report-file", rep, "--quiet",
+        ]
+        import os
+
+        os.environ["ATROPOS_TPU_ENGINE"] = "1" if turbo else "0"
+        try:
+            retcode, summary = get_command("trim").execute(argv)
+        finally:
+            os.environ.pop("ATROPOS_TPU_ENGINE", None)
+        assert retcode == 0, summary.get("exception")
+        if turbo:
+            assert summary.get("mode") == "turbo", "turbo path not taken"
+        with open(out, "rb") as fh:
+            outputs[turbo] = fh.read()
+        with module.open(out, "rb") as fh:
+            outputs[(turbo, "plain")] = fh.read()
+
+    assert outputs[(True, "plain")] == outputs[(False, "plain")]
+    assert outputs[True] == outputs[False]
+
+
+def test_turbo_gz_fixture_matches_golden(tmp_path):
+    """Turbo on the upstream gzipped fixture matches the golden file."""
+    from .conformance_utils import assert_files_equal, cutpath
+
+    out, _, summary = _run(
+        tmp_path,
+        ["-b", "small=TTAGACATATCTCCGTCG"],
+        datapath("small.fastq.gz"),
+        "turbo-small-gz",
+        turbo=True,
+    )
+    assert summary.get("mode") == "turbo"
+    assert_files_equal(cutpath("small.fastq"), out)
+
+
 def test_turbo_ineligible_falls_back(tmp_path):
     """Configs outside the turbo envelope must fall back cleanly."""
     infile = _write_synthetic(str(tmp_path / "in.fastq"), n=50)
