@@ -3,11 +3,11 @@
 The XLA version (:mod:`atropos_tpu.align.batched`) expresses the column
 scan as ~40 separate HLO ops per column; every op round-trips VMEM and
 pays dispatch overhead. This kernel runs the entire j-loop *inside* one
-Pallas program: the DP state (two int32 planes of shape [m+1, B_BLK])
-lives in registers/VMEM for the whole read batch block and the
-per-column update is fused into one vector pipeline.
+Pallas program: the DP state (two planes of shape [m+1, B_BLK]) lives in
+registers/VMEM for the whole read batch block and the per-column update
+is fused into one vector pipeline.
 
-Two representation tricks keep the per-column op count minimal:
+Three representation tricks keep the per-column op count minimal:
 
 - **Scaled-packed cell state.** The cost plane is carried as
   ``pack = cost * SUB_BASE`` (sub-key bits zeroed between columns), so
@@ -16,20 +16,33 @@ Two representation tricks keep the per-column op count minimal:
   sub-keys are added into the low bits only while candidates compete
   within a column, then masked off before writeback.
 
+- **Dead-cost clamping + single-word fused state.** Along any DP path the
+  cost is non-decreasing, and every observable result (band membership,
+  candidate selection, early exit, final-column selection) only inspects
+  cells with cost <= k. Any cell whose cost exceeds k is therefore
+  permanently dead: its exact value can never surface, only its "> k"
+  property. We clamp all cost arithmetic at ``k + 1`` (deletion/insertion
+  unit costs included), which shrinks the cost field to a few bits — small
+  enough that the ENTIRE cell state (cost, tie-break sub-key, origin,
+  matches) packs into one int32 word (:func:`_fused_layout`), so candidate
+  selection is a single ``min`` and the column update runs one arithmetic
+  stream instead of parallel pack/pay streams. Configurations whose bit
+  budget exceeds 29 fall back to the two-plane int32 kernel below.
+
 - **Bounded insertion relaxation.** The within-column insertion chain
   (an inclusive min-affine scan down the rows) is computed by
   ``d_max = floor(k / ins_cost)`` sequential relaxation steps
   ``P[i] = min(P[i], P[i-1] + ins_cost)`` (match cells are immune —
   they are forced constants). This is bit-exact: a chain of t insertions
-  adds ``t * ins_cost`` to a non-decreasing path cost, and every
-  observable result (band membership, candidate selection, early exit)
-  only inspects cells with cost <= k, so contributions from more than
-  ``d_max`` rows above can never surface, and cells the truncation
-  leaves higher are > k and only produce > k descendants.
+  adds ``t * ins_cost`` to a non-decreasing path cost, so contributions
+  from more than ``d_max`` rows above can never surface, and cells the
+  truncation leaves higher are > k and only produce > k descendants.
 
 The grid partitions the read batch into lane-sized blocks; each program
 aligns the adapter against its block independently (pure data
-parallelism, no cross-program communication).
+parallelism, no cross-program communication). Reads cross the host-device
+link as raw uint8 bytes (one byte per base) and are widened to the state
+dtype on device, minimizing PCIe/ICI transfer volume.
 
 Semantics are bit-identical to ``oracle.Aligner.locate`` — validated by
 the differential tests in ``tests/test_pallas_align.py``.
@@ -46,7 +59,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from atropos_tpu.align.batched import (
     _error_thresholds,
-    _initial_state_np,
     _translation_lut,
 )
 from atropos_tpu.align.flags import (
@@ -97,8 +109,42 @@ def _pow2(x):
     return p
 
 
-def _dp_kernel(
-    reads_ref,      # [L, B_BLK] int32 (translated query bytes, column-major)
+def _bits(x):
+    """Number of bits needed to represent values 0..x."""
+    return max(1, int(x).bit_length())
+
+
+def _fused_layout(m, k, L):
+    """Bit layout for the single-word cell state, or None if it doesn't fit.
+
+    Field widths: cost C = bits(3k+3) (the within-column bound under the
+    dead-cost clamp: writeback base k+1, + deletion unit <= k+1, + d_max
+    relaxation shifts <= k), sub-key S = bits(2m+1), origin O =
+    bits(L+m) for origin+m (origin ranges [-m, L]), matches T = bits(m).
+    The relaxation blocker adds 1<<30, so the real-value range must stay
+    below 2**30 - that is, C+S+O+T <= 29 (int16 vector compares are
+    unsupported on current TPU targets, so there is no narrower variant).
+    """
+    C = _bits(3 * k + 3)
+    S = _bits(2 * m + 1)
+    O = _bits(L + m)
+    T = _bits(m)
+    if C + S + O + T > 29:
+        return None
+    return dict(
+        T=T,
+        ORG_SHIFT=T,
+        SUB_SHIFT=T + O,
+        COST_SHIFT=T + O + S,
+        O_MASK=(1 << O) - 1,
+        T_MASK=(1 << T) - 1,
+        SUB_FIELD=((1 << S) - 1) << (T + O),
+        LOW_MASK=(1 << (T + O)) - 1,
+    )
+
+
+def _dp_kernel_fused(
+    reads_ref,      # [L, B_BLK] int32 (translated query bytes, col-major)
     lengths_ref,    # [1, B_BLK] int32
     out_ref,        # [8, B_BLK] int32
     *,
@@ -112,6 +158,262 @@ def _dp_kernel(
     L,
     ref_bytes,      # tuple of m ints (static)
     thresholds,     # tuple of m+1 ints (static)
+    layout,
+):
+    """Single-plane variant of the DP column loop.
+
+    The whole cell state rides ONE int32 word:
+
+        state = cost << COST_SHIFT | sub << SUB_SHIFT
+              | (origin + m) << ORG_SHIFT | matches
+
+    which is only possible because of the dead-cost clamp (cost <= k+1
+    needs just a few bits). Candidate selection becomes a plain ``min``:
+    the (cost, sub) key occupies the high bits, and the payload bits
+    below can never decide a comparison — any two candidates competing
+    for a cell originate at distinct DP rows (so their sub-keys differ),
+    except when both carry the value of the SAME origin row through
+    equal-length insertion chains, in which case the full words are
+    identical and min is trivially exact. This halves the vector-op count
+    per column versus the two-plane kernel (one arithmetic stream instead
+    of parallel pack/pay streams).
+    """
+    start_in_ref = bool(flags & START_WITHIN_SEQ1)
+    start_in_query = bool(flags & START_WITHIN_SEQ2)
+    stop_in_ref = bool(flags & STOP_WITHIN_SEQ1)
+    stop_in_query = bool(flags & STOP_WITHIN_SEQ2)
+
+    COST_SHIFT = layout["COST_SHIFT"]
+    SUB_SHIFT = layout["SUB_SHIFT"]
+    ORG_SHIFT = layout["ORG_SHIFT"]
+    O_MASK = layout["O_MASK"]
+    T_MASK = layout["T_MASK"]
+    SUB_FIELD = layout["SUB_FIELD"]
+    LOW_MASK = layout["LOW_MASK"]
+    COST_UNIT = 1 << COST_SHIFT
+    SUB_UNIT = 1 << SUB_SHIFT
+    ORG_UNIT = 1 << ORG_SHIFT
+    BIG = 1 << 30  # relaxation blocker: beats any real state value
+
+    CLAMP = k + 1
+    CLAMP_STATE = CLAMP * COST_UNIT
+    del_unit = min(del_cost, CLAMP)
+
+    B = lengths_ref.shape[1]
+    M1 = m + 1
+
+    n = lengths_ref[0:1, :]  # [1, B]
+    max_n = n if start_in_query else jnp.minimum(n, m + k)
+    min_n = jnp.zeros_like(n) if stop_in_query else jnp.maximum(0, n - m - k)
+
+    rows = lax.broadcasted_iota(jnp.int32, (M1, B), 0)
+
+    # initial column (reference ``_align.pyx:333-352``)
+    if not start_in_ref and not start_in_query:
+        cost0 = jnp.maximum(rows, min_n) * ins_cost
+        origin0 = jnp.zeros((M1, B), jnp.int32)
+    elif start_in_ref and not start_in_query:
+        cost0 = jnp.broadcast_to(min_n * ins_cost, (M1, B))
+        origin0 = jnp.minimum(0, min_n - rows)
+    elif not start_in_ref and start_in_query:
+        cost0 = rows * ins_cost
+        origin0 = jnp.maximum(0, min_n - rows)
+    else:
+        cost0 = jnp.minimum(rows, min_n) * ins_cost
+        origin0 = min_n - rows
+    state0 = jnp.minimum(cost0, CLAMP) * COST_UNIT + (origin0 + m) * ORG_UNIT
+
+    last0 = jnp.full((1, B), m if start_in_ref else min(m, k + 1), jnp.int32)
+    done0 = jnp.zeros((1, B), jnp.int32)
+    best0 = (
+        jnp.full((1, B), m, jnp.int32),     # ref_stop
+        n,                                   # query_stop
+        m + n,                               # cost
+        jnp.zeros((1, B), jnp.int32),        # origin
+        jnp.zeros((1, B), jnp.int32),        # matches
+    )
+
+    # adapter chars built in-kernel from static ints via iota-select
+    iota_m = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    ref_col = jnp.zeros((m, 1), jnp.int32)
+    for r, byte in enumerate(ref_bytes):
+        ref_col = jnp.where(iota_m == r, int(byte), ref_col)
+
+    t_arrv = list(thresholds)
+    boundaries = [
+        idx for idx in range(1, M1) if t_arrv[idx] > t_arrv[idx - 1]
+    ]
+
+    def thresh_of(length):
+        out = jnp.full(length.shape, int(t_arrv[0]), jnp.int32)
+        for b_idx in boundaries:
+            step = int(t_arrv[b_idx] - t_arrv[b_idx - 1])
+            out = out + (length >= b_idx).astype(jnp.int32) * step
+        return out
+
+    d_max = 0 if ins_cost > k else min(M1 - 1, k // ins_cost)
+    SHIFT = min(ins_cost, CLAMP) * COST_UNIT
+
+    pos_i = rows[1:M1, 0:1]  # [m, 1]
+    # per-row candidate constants: add cost + sub-key (+1 match) in one go
+    match_const = (m + pos_i) * SUB_UNIT + 1
+    mm_const = COST_UNIT + (m - pos_i) * SUB_UNIT
+    del_const = del_unit * COST_UNIT + (m + pos_i) * SUB_UNIT
+
+    def column(j, carry):
+        state, last, best, done = carry
+        b_ref_stop, b_query_stop, b_cost, b_origin, b_matches = best
+        qc = reads_ref[pl.ds(j - 1, 1), :]  # [1, B]
+        active = (j > min_n) & (j <= max_n) & (done == 0)
+
+        # row 0 (reference ``_align.pyx:385-388``); stored sub bits are
+        # zero, so adding m*SUB_UNIT sets the sub-key exactly
+        if start_in_query:
+            # origin := j, keep cost + matches
+            new0 = (
+                (state[0:1, :] & ~((O_MASK << ORG_SHIFT) | SUB_FIELD))
+                + ((j + m) * ORG_UNIT + m * SUB_UNIT)
+            )
+        else:
+            # cost := min(j*ins, clamp), keep origin + matches
+            new0 = (state[0:1, :] & LOW_MASK) + (
+                jnp.minimum(j * ins_cost, CLAMP) * COST_UNIT + m * SUB_UNIT
+            )
+
+        if compare_ascii:
+            eq = ref_col == qc
+        else:
+            eq = (ref_col & qc) != 0
+
+        diag = state[0:m, :]
+        cand_match = diag + match_const
+        cand_mm = diag + mm_const
+        cand_del = state[1:M1, :] + del_const
+        elem = jnp.where(eq, cand_match, jnp.minimum(cand_mm, cand_del))
+
+        cur = jnp.concatenate([new0, elem], axis=0)
+        # insertion relaxation over rows 1..m: sources shift down one row
+        # per step; match cells are immune (blocked via BIG)
+        if d_max:
+            blocked = jnp.where(eq, BIG, SHIFT)
+            for _ in range(d_max):
+                cand = cur[0:m, :] + blocked
+                cur = jnp.concatenate(
+                    [cur[0:1, :], jnp.minimum(cand, cur[1:M1, :])], axis=0
+                )
+
+        rows_le_last = rows <= last
+        write = rows_le_last & (active != 0)
+        # zero the sub-key field and saturate dead costs at k+1 (payload
+        # of dead cells is zeroed too - never observable)
+        cur_w = jnp.minimum(cur & ~SUB_FIELD, CLAMP_STATE)
+        state = jnp.where(write, cur_w, state)
+
+        in_band = rows_le_last & (state < CLAMP_STATE)
+        L_idx = jnp.max(jnp.where(in_band, rows, -1), axis=0, keepdims=True)
+        new_last = jnp.minimum(L_idx + 1, m)
+
+        if stop_in_query:
+            at_bottom = active & (L_idx == m)
+            state_m = state[m : m + 1, :]
+            cost_m = jnp.right_shift(state_m, COST_SHIFT)
+            org_m = (jnp.right_shift(state_m, ORG_SHIFT) & O_MASK) - m
+            mat_m = state_m & T_MASK
+            length_m = jnp.clip(m + jnp.minimum(org_m, 0), 0, m)
+            thresh_m = thresh_of(length_m)
+            ok = (
+                at_bottom
+                & (length_m >= min_overlap)
+                & (cost_m <= thresh_m)
+                & ((mat_m > b_matches) | ((mat_m == b_matches) & (cost_m < b_cost)))
+            )
+            b_ref_stop = jnp.where(ok, m, b_ref_stop)
+            b_query_stop = jnp.where(ok, j, b_query_stop)
+            b_cost = jnp.where(ok, cost_m, b_cost)
+            b_origin = jnp.where(ok, org_m, b_origin)
+            b_matches = jnp.where(ok, mat_m, b_matches)
+            done = jnp.where(
+                ok & (cost_m == 0) & (mat_m == m), jnp.int32(1), done
+            )
+
+        last = jnp.where(active, new_last, last)
+        best = (b_ref_stop, b_query_stop, b_cost, b_origin, b_matches)
+        return (state, last, best, done)
+
+    state, last, best, done = lax.fori_loop(
+        1, L + 1, column, (state0, last0, best0, done0), unroll=UNROLL
+    )
+    cost_c = jnp.right_shift(state, COST_SHIFT)
+    org_c = (jnp.right_shift(state, ORG_SHIFT) & O_MASK) - m
+    mat_c = state & T_MASK
+    b_ref_stop, b_query_stop, b_cost, b_origin, b_matches = best
+
+    # final-column scan (reference ``_align.pyx:461-474``)
+    first_i = 0 if stop_in_ref else m
+    lengths_i = rows + jnp.minimum(org_c, 0)
+    lt = jnp.clip(lengths_i, 0, m)
+    thresh_cells = thresh_of(lt)
+
+    valid = (
+        (rows >= first_i)
+        & (lengths_i >= min_overlap)
+        & (cost_c <= thresh_cells)
+        & (jnp.broadcast_to(max_n == n, (M1, B)))
+    )
+    cost_clamped = jnp.minimum(cost_c, 1023)
+    key = mat_c * 2048 + (1023 - cost_clamped)
+    key = key * (m + 2) + (m + 1 - rows)
+    key = jnp.where(valid, key, NEG_LARGE)
+    best_key = jnp.max(key, axis=0, keepdims=True)
+    any_valid = best_key > NEG_LARGE
+    sel = (key == best_key) & valid
+    best_idx = jnp.max(jnp.where(sel, rows, -1), axis=0, keepdims=True)
+    pick = rows == best_idx
+    take = lambda arr: jnp.max(
+        jnp.where(pick, arr, NEG_LARGE), axis=0, keepdims=True
+    )
+    cand_cost = take(cost_c)
+    cand_mat = take(mat_c)
+    cand_org = take(org_c)
+    better = any_valid & (
+        (cand_mat > b_matches) | ((cand_mat == b_matches) & (cand_cost < b_cost))
+    )
+    b_ref_stop = jnp.where(better, best_idx, b_ref_stop)
+    b_query_stop = jnp.where(better, n, b_query_stop)
+    b_cost = jnp.where(better, cand_cost, b_cost)
+    b_origin = jnp.where(better, cand_org, b_origin)
+    b_matches = jnp.where(better, cand_mat, b_matches)
+
+    found = (b_cost != (m + n)).astype(jnp.int32)
+    start1 = jnp.where(b_origin >= 0, 0, -b_origin)
+    start2 = jnp.where(b_origin >= 0, b_origin, 0)
+
+    out_ref[0:1, :] = found
+    out_ref[1:2, :] = start1
+    out_ref[2:3, :] = b_ref_stop
+    out_ref[3:4, :] = start2
+    out_ref[4:5, :] = b_query_stop
+    out_ref[5:6, :] = b_matches
+    out_ref[6:7, :] = b_cost
+    out_ref[7:8, :] = jnp.zeros((1, B), jnp.int32)
+
+
+def _dp_kernel(
+    reads_ref,      # [L, B_BLK] state-dtype (translated query bytes, col-major)
+    lengths_ref,    # [1, B_BLK] int32
+    out_ref,        # [8, B_BLK] int32
+    *,
+    m,
+    k,
+    flags,
+    min_overlap,
+    ins_cost,
+    del_cost,
+    compare_ascii,
+    L,
+    ref_bytes,      # tuple of m ints (static)
+    thresholds,     # tuple of m+1 ints (static)
+    state_dtype,
 ):
     start_in_ref = bool(flags & START_WITHIN_SEQ1)
     start_in_query = bool(flags & START_WITHIN_SEQ2)
@@ -124,13 +426,12 @@ def _dp_kernel(
     PAY_BASE = _pow2(m + 1)
     LOG_PAY = PAY_BASE.bit_length() - 1
     PAY_MASK = PAY_BASE - 1
-    CLAMP = 1 << 20
-    # packed-state bounds: per column the cost field can grow by at most
-    # max(del_cost, 1); when that keeps every pack below the relax
-    # sentinel, no in-loop clamping is needed at all
-    growth = max(del_cost, 1)
-    need_clamp = CLAMP + (L + 1) * growth > (1 << 22)
-    CLAMP_PACK = CLAMP * SUB_BASE + SUB_MASK
+    # dead-cost clamp: cells with cost > k are permanently dead and only
+    # their "> k" property is observable, so all cost arithmetic saturates
+    # at k+1 (see module docstring)
+    CLAMP = k + 1
+    CLAMP_PACK = CLAMP * SUB_BASE
+    del_unit = min(del_cost, CLAMP)
 
     B = lengths_ref.shape[1]
     M1 = m + 1
@@ -160,8 +461,8 @@ def _dp_kernel(
     else:
         cost0 = jnp.minimum(rows, min_n) * ins_cost
         origin0 = min_n - rows
-    pack0 = jnp.minimum(cost0, CLAMP) * SUB_BASE
-    pay0 = (origin0 + m) * PAY_BASE
+    pack0 = (jnp.minimum(cost0, CLAMP) * SUB_BASE).astype(state_dtype)
+    pay0 = ((origin0 + m) * PAY_BASE).astype(state_dtype)
 
     last0 = jnp.full((1, B), m if start_in_ref else min(m, k + 1), jnp.int32)
     done0 = jnp.zeros((1, B), jnp.int32)
@@ -180,6 +481,7 @@ def _dp_kernel(
     ref_col = jnp.zeros((m, 1), jnp.int32)
     for r, byte in enumerate(ref_bytes):
         ref_col = jnp.where(iota_m == r, int(byte), ref_col)
+    ref_col = ref_col.astype(state_dtype)
     # thresholds[len] = floor(err*len) is a monotone step function with at
     # most k steps; represent it as its step boundaries so a lookup is k
     # adds of (len >= boundary) instead of an m+1-way one-hot select
@@ -202,7 +504,7 @@ def _dp_kernel(
     d_max = 0 if ins_cost > k else min(M1 - 1, k // ins_cost)
     SHIFT = min(ins_cost, CLAMP) * SUB_BASE
 
-    pos_i = rows[1:M1, 0:1]
+    pos_i = rows[1:M1, 0:1].astype(state_dtype)
     sub_diag = m + pos_i      # diagonal-born candidates (match or mismatch)
     sub_del = m + pos_i       # deletion-born candidates
     sub_diag_mm = m - pos_i   # mismatch diagonal candidates
@@ -210,18 +512,22 @@ def _dp_kernel(
     def column(j, carry):
         pack_c, pay_c, last, best, done = carry
         b_ref_stop, b_query_stop, b_cost, b_origin, b_matches = best
-        qc = reads_ref[pl.ds(j - 1, 1), :]  # [1, B]
+        qc = reads_ref[pl.ds(j - 1, 1), :]  # [1, B] state-dtype
         active = (j > min_n) & (j <= max_n) & (done == 0)
 
         # row 0 (reference ``_align.pyx:385-388``); state sub-bits are
         # zero, so adding the sub-key is exact
         if start_in_query:
-            new0_pack = pack_c[0:1, :] + m
-            new0_pay = (j + m) * PAY_BASE + (pay_c[0:1, :] & PAY_MASK)
+            new0_pack = pack_c[0:1, :] + state_dtype(m)
+            new0_pay = ((j + m) * PAY_BASE).astype(state_dtype) + (
+                pay_c[0:1, :] & PAY_MASK
+            )
         else:
-            new0_pack = jnp.full(
-                (1, B), jnp.minimum(j * ins_cost, CLAMP) * SUB_BASE + m,
-                jnp.int32,
+            new0_pack = jnp.broadcast_to(
+                (jnp.minimum(j * ins_cost, CLAMP) * SUB_BASE + m).astype(
+                    state_dtype
+                ),
+                (1, B),
             )
             new0_pay = pay_c[0:1, :]
 
@@ -235,23 +541,21 @@ def _dp_kernel(
         # arithmetic happens on the scaled pack directly.
         diag_pack = pack_c[0:m, :]
         diag_pay = pay_c[0:m, :]
-        del_pack = pack_c[1:M1, :] + (del_cost * SUB_BASE + sub_del)
+        del_pack = pack_c[1:M1, :] + (del_unit * SUB_BASE + sub_del)
         diag_mm_pack = diag_pack + (SUB_BASE + sub_diag_mm)
         pick_diag = diag_mm_pack <= del_pack
         loc_pack = jnp.where(pick_diag, diag_mm_pack, del_pack)
         loc_pay = jnp.where(pick_diag, diag_pay, pay_c[1:M1, :])
 
         elem_pack = jnp.where(eq, diag_pack + sub_diag, loc_pack)
-        elem_pay = jnp.where(eq, diag_pay + 1, loc_pay)
-        if need_clamp:
-            elem_pack = jnp.minimum(elem_pack, CLAMP_PACK)
+        elem_pay = jnp.where(eq, diag_pay + state_dtype(1), loc_pay)
 
         pack = jnp.concatenate([new0_pack, elem_pack], axis=0)
         pay = jnp.concatenate([new0_pay, elem_pay], axis=0)
         # insertion relaxation over rows 1..m (row 0 and match cells are
         # immune: a match cell's value is forced to the diagonal)
         for _ in range(d_max):
-            cand = pack[0:m, :] + SHIFT
+            cand = pack[0:m, :] + state_dtype(SHIFT)
             tail_pack = pack[1:M1, :]
             take = (cand < tail_pack) & (~eq)
             pack = jnp.concatenate(
@@ -264,23 +568,28 @@ def _dp_kernel(
 
         rows_le_last = rows <= last
         write = rows_le_last & (active != 0)
-        pack_c = jnp.where(write, pack & ~SUB_MASK, pack_c)
+        # mask sub-key bits and saturate dead costs at k+1 so next-column
+        # arithmetic stays within the state dtype's bounds
+        pack_w = jnp.minimum(pack & ~SUB_MASK, state_dtype(CLAMP_PACK))
+        pack_c = jnp.where(write, pack_w, pack_c)
         pay_c = jnp.where(write, pay, pay_c)
 
-        in_band = rows_le_last & (pack_c < (k + 1) * SUB_BASE)
+        in_band = rows_le_last & (pack_c < state_dtype((k + 1) * SUB_BASE))
         L_idx = jnp.max(jnp.where(in_band, rows, -1), axis=0, keepdims=True)
         new_last = jnp.minimum(L_idx + 1, m)
 
         if stop_in_query:
             at_bottom = active & (L_idx == m)
-            pay_m = pay_c[m : m + 1, :]
+            pay_m = pay_c[m : m + 1, :].astype(jnp.int32)
             org_m = jnp.right_shift(pay_m, LOG_PAY) - m
             mat_m = pay_m & PAY_MASK
             # clip like the final-column path: the PAY_BASE packing keeps
             # origin >= -m, but an out-of-range payload must reject (the
             # boundary form of thresh_of would otherwise extrapolate)
             length_m = jnp.clip(m + jnp.minimum(org_m, 0), 0, m)
-            cost_m = jnp.right_shift(pack_c[m : m + 1, :], LOG_SUB)
+            cost_m = jnp.right_shift(
+                pack_c[m : m + 1, :].astype(jnp.int32), LOG_SUB
+            )
             thresh_m = thresh_of(length_m)
             ok = (
                 at_bottom
@@ -305,11 +614,12 @@ def _dp_kernel(
         1, L + 1, column, (pack0, pay0, last0, best0, done0),
         unroll=UNROLL,
     )
-    cost_c = jnp.right_shift(pack_c, LOG_SUB)
+    cost_c = jnp.right_shift(pack_c.astype(jnp.int32), LOG_SUB)
     b_ref_stop, b_query_stop, b_cost, b_origin, b_matches = best
 
-    org_c = pay_c // PAY_BASE - m
-    mat_c = pay_c % PAY_BASE
+    pay32 = pay_c.astype(jnp.int32)
+    org_c = pay32 // PAY_BASE - m
+    mat_c = pay32 % PAY_BASE
 
     # final-column scan (reference ``_align.pyx:461-474``)
     first_i = 0 if stop_in_ref else m
@@ -404,7 +714,7 @@ class PallasAligner:
         self._thresholds_np = _error_thresholds(m, max_error_rate)
         self._query_lut_np = _translation_lut(
             wildcard_ref, wildcard_query, for_query=True
-        ).astype(np.int32)
+        )
         self._compare_ascii = not (wildcard_ref or wildcard_query)
         self._kernels = {}
 
@@ -418,8 +728,7 @@ class PallasAligner:
                 )
             else:
                 ref_bytes = tuple(int(b) for b in self._ref_np)
-            kernel = functools.partial(
-                _dp_kernel,
+            common = dict(
                 m=m,
                 k=self.k,
                 flags=self.flags,
@@ -431,6 +740,18 @@ class PallasAligner:
                 ref_bytes=ref_bytes,
                 thresholds=tuple(int(t) for t in self._thresholds_np),
             )
+            layout = _fused_layout(m, self.k, L)
+            if layout is not None:
+                kernel = functools.partial(
+                    _dp_kernel_fused, layout=layout, **common
+                )
+            else:
+                # wide configurations (very long adapters/reads): two-plane
+                # int32 state (int16 vector compares are unsupported on
+                # current TPU targets, so there is no narrower fallback)
+                kernel = functools.partial(
+                    _dp_kernel, state_dtype=jnp.int32, **common
+                )
             # per-shard batch width: the grid runs over this device's slice
             B_shard = B // ndev
             grid = (B_shard // self.BLOCK,)
@@ -450,6 +771,12 @@ class PallasAligner:
                                        memory_space=pltpu.VMEM),
                 interpret=self.INTERPRET,
             )
+
+            def widened(reads_u8, lens, _call=call):
+                # bytes cross the link as uint8; widen on device
+                return _call(reads_u8.astype(jnp.int32), lens)
+
+            entry = widened
             if ndev > 1:
                 # multi-chip: split the batch (lane) axis over the local
                 # mesh; each device runs the identical kernel on its slice
@@ -461,13 +788,13 @@ class PallasAligner:
                     data_parallel_mesh,
                 )
 
-                call = _shard_map(
-                    call,
+                entry = _shard_map(
+                    widened,
                     data_parallel_mesh(),
                     in_specs=(P(None, READS_AXIS), P(None, READS_AXIS)),
                     out_specs=P(None, READS_AXIS),
                 )
-            self._kernels[key] = jax.jit(call)
+            self._kernels[key] = jax.jit(entry)
         return self._kernels[key]
 
     def locate_batch(self, reads_u8, lengths):
@@ -487,15 +814,11 @@ class PallasAligner:
         L_pad = max(8, L)
 
         if self._compare_ascii:
-            translated = reads_u8.astype(np.int32)
-            ref = np.frombuffer(
-                self.reference.encode("ascii"), dtype=np.uint8
-            ).astype(np.int32)
+            translated = reads_u8
         else:
             translated = self._query_lut_np[reads_u8]
-            ref = self._ref_np
 
-        reads_T = np.zeros((L_pad, pad_b), dtype=np.int32)
+        reads_T = np.zeros((L_pad, pad_b), dtype=np.uint8)
         reads_T[:L, :batch] = translated.T
         len_pad = np.zeros((1, pad_b), dtype=np.int32)
         len_pad[0, :batch] = lengths
@@ -511,8 +834,3 @@ class PallasAligner:
             matches=out[5, :batch],
             cost=out[6, :batch],
         )
-
-
-def _pad_m(m):
-    """Sublane-aligned row count for the adapter/threshold blocks."""
-    return max(8, ((m + 2 + 7) // 8) * 8)

@@ -74,8 +74,8 @@ def _pallas_runner(reads, jax, jnp):
     arr, lengths = encode_reads(reads, upper=True)
     arr = np.asarray(arr)
     L_pad = ((arr.shape[1] + 7) // 8) * 8
-    reads_T = np.zeros((L_pad, arr.shape[0]), np.int32)
-    reads_T[: arr.shape[1]] = arr.T.astype(np.int32)
+    reads_T = np.zeros((L_pad, arr.shape[0]), np.uint8)
+    reads_T[: arr.shape[1]] = arr.T
     len_col = np.asarray(lengths, np.int32)[None, :]
     kernel = aligner._get_kernel(reads_T.shape[0], reads_T.shape[1])
     d_reads = jax.device_put(jnp.asarray(reads_T))
