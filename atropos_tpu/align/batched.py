@@ -262,6 +262,27 @@ class BatchAligner:
             out = {key: val[:batch] for key, val in out.items()}
         return out
 
+    def locate_device(self, reads_dev, lengths_dev):
+        """Device-resident variant of :meth:`locate_batch` for async
+        pipelines: inputs are device arrays (reads [B, L] uint8/int32,
+        already wildcard-translated unless ``compare_ascii``; lengths [B]
+        int32), the initial DP column is built on device, and the returned
+        dict holds device arrays — nothing synchronizes with the host."""
+        init = _initial_state_jnp(
+            lengths_dev,
+            m=self.m,
+            k=self.k,
+            flags=self.flags,
+            ins_cost=self.indel_cost,
+        )
+        return self._kernel(
+            reads_dev.astype(jnp.int32),
+            lengths_dev,
+            self._ref_arr,
+            self._thresholds,
+            *init,
+        )
+
     def locate(self, query):
         """Scalar-API convenience wrapper (single read)."""
         reads, lengths = encode_reads([query])
@@ -319,6 +340,54 @@ def _initial_state_np(lengths, *, m, k, flags, ins_cost):
 
     last0 = np.full((1, batch), m if start_in_ref else min(m, k + 1), np.int32)
     done0 = np.zeros((1, batch), bool)
+    return cost0, pay0, last0, done0
+
+
+def _initial_state_jnp(lengths, *, m, k, flags, ins_cost):
+    """Device-side twin of :func:`_initial_state_np` (same outputs, jnp
+    ops on a device-resident lengths vector so no host round-trip is
+    needed to start a kernel)."""
+    start_in_ref = bool(flags & START_WITHIN_SEQ1)
+    start_in_query = bool(flags & START_WITHIN_SEQ2)
+    stop_in_query = bool(flags & STOP_WITHIN_SEQ2)
+
+    def _pow2(x):
+        p = 1
+        while p < x:
+            p *= 2
+        return p
+
+    PAY_BASE = _pow2(m + 1)
+    CLAMP = 1 << 20
+
+    batch = lengths.shape[0]
+    n = lengths[None, :].astype(jnp.int32)
+    if stop_in_query:
+        min_n = jnp.zeros_like(n)
+    else:
+        min_n = jnp.maximum(0, n - m - k)
+    rows = jnp.arange(m + 1, dtype=jnp.int32)[:, None]
+
+    if not start_in_ref and not start_in_query:
+        cost0 = jnp.maximum(rows, min_n) * ins_cost
+        origin0 = jnp.zeros((m + 1, batch), jnp.int32)
+    elif start_in_ref and not start_in_query:
+        cost0 = jnp.broadcast_to(min_n * ins_cost, (m + 1, batch))
+        origin0 = jnp.minimum(0, min_n - rows)
+    elif not start_in_ref and start_in_query:
+        cost0 = jnp.broadcast_to(rows * ins_cost, (m + 1, batch))
+        origin0 = jnp.maximum(0, min_n - rows)
+    else:
+        cost0 = jnp.minimum(rows, min_n) * ins_cost
+        origin0 = min_n - rows
+    cost0 = jnp.minimum(
+        jnp.broadcast_to(cost0, (m + 1, batch)), CLAMP
+    ).astype(jnp.int32)
+    origin0 = jnp.broadcast_to(origin0, (m + 1, batch)).astype(jnp.int32)
+    pay0 = (origin0 + m) * PAY_BASE
+
+    last0 = jnp.full((1, batch), m if start_in_ref else min(m, k + 1), jnp.int32)
+    done0 = jnp.zeros((1, batch), bool)
     return cost0, pay0, last0, done0
 
 
@@ -653,6 +722,178 @@ def nextseq_trim_batch(seqs_u8, quals_u8, lengths, cutoff, base=33):
 
 
 # ---------------------------------------------------------------------------
+# Batched insert-overlap matcher (variable-length, diagonal closed form)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _diagonal_match_counts(refs_T, queries_T, lengths_row):
+    """Per-diagonal match counts for the no-indel insert configuration.
+
+    refs_T/queries_T: [W, B] int32 byte planes (pair-wise truncated to the
+    same per-pair length m_b, zero-padded); lengths_row: [1, B] int32.
+    Returns [W, B] int32 where row s = number of matching positions of
+    the alignment that starts at ref offset s (diagonal origin -s):
+    ``sum_t [ref[s+t] == query[t]]`` over ``t < m_b - s``.
+
+    Without indels every DP path is a diagonal, so the whole MultiAligner
+    DP collapses to W shifted compares — a fraction of the cell-update
+    work of the banded scan kernel, with no in-kernel candidate slots.
+    """
+    W, B = queries_T.shape
+    rows = jnp.arange(W, dtype=jnp.int32)[:, None]  # [W, 1]
+
+    def step(ref_cur, s):
+        eq = (ref_cur == queries_T) & (rows < (lengths_row - s))
+        count = jnp.sum(eq.astype(jnp.int32), axis=0)  # [B]
+        return jnp.roll(ref_cur, -1, axis=0), count
+
+    _, counts = lax.scan(step, refs_T, jnp.arange(W, dtype=jnp.int32))
+    return counts  # [W, B]
+
+
+class BatchInsertMatcher:
+    """Variable-length batched equivalent of ``MultiAligner.locate`` for
+    the paired-end insert configuration (flags START_WITHIN_SEQ1 |
+    STOP_WITHIN_SEQ2, reference and query truncated to the same per-pair
+    length — exactly how ``InsertAligner.match_insert`` calls it,
+    reference ``atropos/align/__init__.py:351`` / ``_align.pyx:593-772``).
+
+    One kernel handles every pair length in the batch (per-pair length is
+    data, not shape), eliminating the per-(m, L) compile churn of the
+    same-length-group kernel.
+
+    Device side: per-diagonal match counting (the no-indel DP collapses to
+    shifted compares). Host side: closed-form reconstruction of the scalar
+    kernel's candidate stream. The reconstruction provably reproduces the
+    banded scan:
+
+    - A cell value on a diagonal is exact wherever the band computed it,
+      and a diagonal whose running cost is <= k is always inside the band
+      (costs are non-decreasing along a diagonal, the band regrows one row
+      per column, and start_in_ref initializes the band at m), so the
+      bottom-row candidate of diagonal ``o = -s`` is recorded at column
+      ``j = m - s`` iff the band reached row m there:
+      ``reach(s) = alive(s+1, m) or alive(s, m-1)`` (the deepest fresh
+      row with cost <= k at the previous column must be >= m-1), with
+      ``alive(s, i)`` = running cost of diagonal -s at row i is <= k.
+    - The final-column record re-reads row m after the loop, which holds
+      the value of the LAST diagonal whose column reached row m (a stale
+      cell re-recorded with query_stop = n — shipped scalar behavior).
+    - The exact-match collapse and the max_matches cap truncate the
+      stream exactly as the scalar loop does.
+
+    Bit-exactness vs the scalar oracle is pinned by
+    ``tests/test_multi_align.py``.
+    """
+
+    def __init__(self, max_error_rate, min_overlap=1, max_matches=100):
+        self.max_error_rate = float(max_error_rate)
+        self.min_overlap = min_overlap
+        self.max_matches = max_matches
+
+    def match_counts_device(self, refs_T_dev, queries_T_dev, lengths_row_dev):
+        """Device-resident entry: [W, B] planes + [1, B] lengths in,
+        [W, B] match-count device array out (no host synchronization)."""
+        return _diagonal_match_counts(
+            refs_T_dev, queries_T_dev, lengths_row_dev
+        )
+
+    def candidates(self, refs_u8, reads_u8, lengths):
+        """Per-pair candidate lists in the scalar ``MultiAligner.locate``
+        format. refs_u8/reads_u8: [B, W] uint8 (ref = rc(read2[:m_b]),
+        query = read1[:m_b], zero-padded); lengths: [B] per-pair m_b.
+        Returns a list of B entries, each a list of (refstart, refstop,
+        querystart, querystop, matches, errors) tuples or None.
+        """
+        refs_u8 = np.asarray(refs_u8)
+        reads_u8 = np.asarray(reads_u8)
+        lengths = np.asarray(lengths, np.int32)
+        counts = np.asarray(
+            _diagonal_match_counts(
+                jnp.asarray(refs_u8.T.astype(np.int32)),
+                jnp.asarray(reads_u8.T.astype(np.int32)),
+                jnp.asarray(lengths[None, :]),
+            )
+        )  # [W, B]
+        return self.reconstruct(counts, refs_u8, reads_u8, lengths)
+
+    def reconstruct(self, counts, refs_u8, reads_u8, lengths):
+        """Host-side candidate-stream reconstruction from device match
+        counts (see class docstring for the derivation)."""
+        B, W = reads_u8.shape
+        err = self.max_error_rate
+        min_overlap = self.min_overlap
+        max_matches = self.max_matches
+
+        m = lengths.astype(np.int64)  # [B]
+        s_idx = np.arange(W, dtype=np.int64)[:, None]  # [W, 1]
+        size = m[None, :] - s_idx  # [W, B] overlap length per diagonal
+        in_range = size > 0
+        cost = np.where(in_range, size - counts, 0)
+        k = (err * m).astype(np.int64)  # int(err*m): C-double truncation
+
+        # mismatch at the bottom row of each diagonal (host byte compare)
+        last_ref = np.take_along_axis(
+            refs_u8, np.maximum(m - 1, 0)[:, None].astype(np.int64), axis=1
+        )  # [B, 1]
+        q_idx = np.clip(m[None, :] - 1 - s_idx, 0, W - 1).T  # [B, W]
+        q_last = np.take_along_axis(reads_u8, q_idx, axis=1).T  # [W, B]
+        mm_last = (q_last != last_ref.T).astype(np.int64)
+
+        alive_bot = in_range & (cost <= k[None, :])
+        # s >= m_b: zero-length overlap, running cost 0 -> alive
+        alive_bot_ext = alive_bot | ~in_range
+        alive_m1 = in_range & ((cost - mm_last) <= k[None, :])
+        # band reached row m at column j = m - s
+        reach = np.empty_like(alive_bot)
+        reach[:-1] = alive_bot_ext[1:]
+        reach[-1] = True  # s = W-1: zero/negative overlap successor
+        reach |= alive_m1
+        reach &= in_range
+
+        rec = (
+            reach
+            & alive_bot
+            & (size >= min_overlap)
+            & (cost.astype(np.float64) <= size * err)
+        )
+
+        results = []
+        for b in range(B):
+            m_b = int(m[b])
+            if m_b <= 0:
+                results.append(None)
+                continue
+            ss = np.nonzero(rec[:m_b, b])[0]
+            out = []
+            broke = False
+            for s in ss[::-1]:  # s descending == column order j ascending
+                s = int(s)
+                c = int(cost[s, b])
+                mt = int(counts[s, b])
+                out.append((s, m_b, 0, m_b - s, mt, c))
+                if s == 0 and c == 0 and mt == m_b:
+                    out = [out[-1]]  # exact-match collapse
+                    broke = True
+                    break
+                if len(out) >= max_matches:
+                    broke = True
+                    break
+            if not broke:
+                # final-column record: row m holds the last diagonal whose
+                # column reached it; re-recorded with query_stop = n
+                reach_b = np.nonzero(reach[:m_b, b])[0]
+                s_f = int(reach_b.min()) if reach_b.size else m_b - 1
+                c = int(cost[s_f, b])
+                sz = int(size[s_f, b])
+                if sz >= min_overlap and float(c) <= sz * err:
+                    out.append((s_f, m_b, 0, m_b, int(counts[s_f, b]), c))
+            results.append(out or None)
+        return results
+
+
+# ---------------------------------------------------------------------------
 # Batched MultiAligner (no-indel top-K; reference ``_align.pyx:548-787``)
 # ---------------------------------------------------------------------------
 
@@ -695,15 +936,49 @@ class BatchMultiAligner:
         return self._kernels[key]
 
     def locate_batch(self, refs_u8, ref_lengths, reads_u8, lengths):
-        """Align one (per-read) reference against each read.
+        """Align one (per-read) reference against each read; per-pair
+        lengths may all differ. Returns a list of B candidate lists (the
+        scalar ``MultiAligner.locate`` format) or None entries.
 
-        For the insert matcher the 'reference' differs per read (it is
-        rc(read2)); refs_u8 is [B, m_max] with per-read lengths. All refs
-        in a batch must have the same length m (callers group by length).
+        The hot configuration — the paired-end insert matcher's flags
+        with pair-wise equal lengths — runs through the single
+        variable-length diagonal kernel (:class:`BatchInsertMatcher`);
+        other flag combinations group by (m, L) shape and reuse the
+        banded scan kernel per group.
         """
-        raise NotImplementedError(
-            "per-read references handled by locate_batch_same_ref groups"
-        )
+        refs_u8 = np.asarray(refs_u8)
+        reads_u8 = np.asarray(reads_u8)
+        ref_lengths = np.asarray(ref_lengths, np.int32)
+        lengths = np.asarray(lengths, np.int32)
+        batch = lengths.shape[0]
+
+        insert_flags = START_WITHIN_SEQ1 | STOP_WITHIN_SEQ2
+        if self.flags == insert_flags and np.array_equal(ref_lengths, lengths):
+            matcher = BatchInsertMatcher(
+                self.max_error_rate, self.min_overlap, self.max_matches
+            )
+            return matcher.candidates(refs_u8, reads_u8, lengths)
+
+        results = [None] * batch
+        groups = {}
+        for b in range(batch):
+            groups.setdefault(
+                (int(ref_lengths[b]), int(lengths[b])), []
+            ).append(b)
+        for (m, n), members in groups.items():
+            width = max(8, n)
+            refs = np.zeros((len(members), m), np.uint8)
+            reads = np.zeros((len(members), width), np.uint8)
+            for row, b in enumerate(members):
+                refs[row] = refs_u8[b, :m]
+                reads[row, :n] = reads_u8[b, :n]
+            out = self.locate_same_shape(
+                refs, reads, m, np.full(len(members), n, np.int32)
+            )
+            out_np = {key: np.asarray(val) for key, val in out.items()}
+            for row, b in enumerate(members):
+                results[b] = self.extract(out_np, row)
+        return results
 
     def locate_same_shape(self, refs_u8, reads_u8, m, lengths):
         """Batch where every ref has length m and every read is padded to

@@ -680,9 +680,10 @@ class PallasAligner:
     as in the scalar kernel)."""
 
     # batch tile width; must stay a positive multiple of the 128-lane TPU
-    # tile or Mosaic rejects the layout at compile time
+    # tile or Mosaic rejects the layout at compile time. 512 measured best
+    # on v5e for the fused kernel (sweep: 128/512/1024/2048/4096)
     BLOCK = _env_int(
-        "ATROPOS_TPU_PALLAS_BLOCK", 1024, lambda v: v > 0 and v % 128 == 0
+        "ATROPOS_TPU_PALLAS_BLOCK", 512, lambda v: v > 0 and v % 128 == 0
     )
     INTERPRET = False  # set True for CPU interpret-mode testing
 
@@ -796,6 +797,20 @@ class PallasAligner:
                 )
             self._kernels[key] = jax.jit(entry)
         return self._kernels[key]
+
+    def locate_device(self, reads_T_dev, lengths_row_dev):
+        """Device-resident variant for async pipelines: reads come
+        pre-transposed as a [L, B] uint8 device array (already
+        wildcard-translated unless ``compare_ascii``), lengths as [1, B]
+        int32; B must be a multiple of BLOCK. Returns the raw [8, B]
+        int32 device array (rows: found, start1, stop1, start2, stop2,
+        matches, cost, 0) without synchronizing with the host."""
+        L, B = reads_T_dev.shape
+        if B % self.BLOCK:
+            raise ValueError(
+                "device batch %d not a multiple of BLOCK %d" % (B, self.BLOCK)
+            )
+        return self._get_kernel(L, B, 1)(reads_T_dev, lengths_row_dev)
 
     def locate_batch(self, reads_u8, lengths):
         """Align the adapter against every read; same contract as

@@ -17,10 +17,19 @@ not reuse the parent's device runtime.
 import heapq
 import inspect
 import logging
+import multiprocessing
 import os
 import time
-from multiprocessing import Process, Queue, Value
 from queue import Empty, Full
+
+#: spawn-based multiprocessing context: the parent holds a live (threaded)
+#: JAX runtime by the time workers launch, and forking a multi-threaded
+#: process risks deadlocks (and warns on Python 3.12+). Spawned children
+#: start from a clean interpreter and never inherit device state.
+_MP = multiprocessing.get_context("spawn")
+Process = _MP.Process
+Queue = _MP.Queue
+Value = _MP.Value
 
 from atropos_tpu import AtroposError
 from atropos_tpu.util import run_interruptible
@@ -637,68 +646,22 @@ class ParallelTrimPipelineRunner(ParallelPipelineRunner):
             self.writer_manager.terminate(retcode)
 
 
-def _order_preserving_class():
-    """The order-preserving writer handler subclasses the trim module's
-    WriterResultHandler; build the class lazily to avoid a circular import
-    at module load."""
-    from atropos_tpu.commands.trim import WriterResultHandler
-
-    class _OrderPreserving(WriterResultHandler):
-        """Buffers out-of-order batches, flushing in input order."""
-
-        def __init__(self, *args, **kwargs):
-            super().__init__(*args, **kwargs)
-            self.pending = None
-            self.cur_batch = None
-
-        def start(self, worker=None):
-            super().start(worker)
-            self.pending = PendingQueue()
-            self.cur_batch = 1
-
-        def write_result(self, batch_num, result):
-            if batch_num != self.cur_batch:
-                self.pending.push(batch_num, result)
-                return
-            self.writers.write_result(result, self.compressed)
-            self.cur_batch += 1
-            self.consume_pending()
-
-        def consume_pending(self):
-            while not self.pending.empty and (
-                self.cur_batch == self.pending.min_priority
-            ):
-                self.writers.write_result(self.pending.pop(), self.compressed)
-                self.cur_batch += 1
-
-        def finish(self, total_batches=None):
-            if total_batches is not None:
-                self.consume_pending()
-                if self.cur_batch != total_batches + 1:
-                    raise MulticoreError(
-                        "OrderPreservingWriterResultHandler finishing "
-                        "without having seen {} of {} batches".format(
-                            total_batches + 1 - self.cur_batch, total_batches
-                        )
-                    )
-            super().finish(total_batches=total_batches)
-
-    return _OrderPreserving
-
-
 def OrderPreservingWriterResultHandler(*args, **kwargs):
-    return _order_preserving_class()(*args, **kwargs)
+    """Order-preserving writer handler (defined at module level in
+    trim.pipeline so spawned processes can pickle it by name)."""
+    from atropos_tpu.commands.trim.pipeline import (
+        OrderPreservingWriterResultHandler as impl,
+    )
+
+    return impl(*args, **kwargs)
 
 
 def run_parallel_trim(command_runner, record_handler, writers):
     """Orchestrate parallel trimming (reference ``trim/__init__.py:692``):
     choose the compression placement, set up the writer process or
     parallel-write shards, and run the trim pipeline over workers."""
-    from multiprocessing import Manager
 
     from atropos_tpu.commands.trim import (
-        PairedEndTrimPipeline,
-        SingleEndTrimPipeline,
         WorkerResultHandler,
         WriterResultHandler,
     )
@@ -726,7 +689,7 @@ def run_parallel_trim(command_runner, record_handler, writers):
     if compression == "writer" and threads > 2:
         threads -= 1
 
-    queue_manager = Manager()
+    queue_manager = _MP.Manager()
     result_queue = queue_manager.Queue(options.result_queue_size)
     writer_manager = None
 
@@ -744,9 +707,15 @@ def run_parallel_trim(command_runner, record_handler, writers):
             WriterResultHandler(writers, use_suffix=True)
         )
 
-    base = PairedEndTrimPipeline if options.paired else SingleEndTrimPipeline
-    pipeline_class = type(
-        "ParallelTrimPipelineImpl", (ParallelPipelineMixin, base), {}
+    from atropos_tpu.commands.trim.pipeline import (
+        ParallelPairedEndTrimPipeline,
+        ParallelSingleEndTrimPipeline,
+    )
+
+    pipeline_class = (
+        ParallelPairedEndTrimPipeline
+        if options.paired
+        else ParallelSingleEndTrimPipeline
     )
     pipeline = pipeline_class(record_handler, worker_result_handler)
     runner = ParallelTrimPipelineRunner(

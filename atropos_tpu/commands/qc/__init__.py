@@ -16,6 +16,7 @@ from atropos_tpu.commands.stats import (
     PairedEndReadStatistics,
     SingleEndReadStatistics,
 )
+from atropos_tpu.commands.multicore import ParallelPipelineMixin
 from atropos_tpu.util import run_interruptible
 
 
@@ -61,6 +62,14 @@ class PairedEndQcPipeline(PairedEndPipelineMixin, QcPipeline):
     statistics_class = PairedEndReadStatistics
 
 
+class ParallelSingleEndQcPipeline(ParallelPipelineMixin, SingleEndQcPipeline):
+    """Module-level (spawned workers pickle pipelines by qualified name)."""
+
+
+class ParallelPairedEndQcPipeline(ParallelPipelineMixin, PairedEndQcPipeline):
+    """Module-level (spawned workers pickle pipelines by qualified name)."""
+
+
 class CommandRunner(BaseCommandRunner):
     name = "qc"
 
@@ -85,13 +94,12 @@ class CommandRunner(BaseCommandRunner):
         share of batches; summaries (tensor adds) merge at the end."""
         import logging
 
-        from atropos_tpu.commands.multicore import (
-            ParallelPipelineMixin,
-            ParallelPipelineRunner,
-        )
+        from atropos_tpu.commands.multicore import ParallelPipelineRunner
 
-        parallel_class = type(
-            "QcPipelineImpl", (ParallelPipelineMixin, pipeline_class), {}
+        parallel_class = (
+            ParallelPairedEndQcPipeline
+            if pipeline_class is PairedEndQcPipeline
+            else ParallelSingleEndQcPipeline
         )
         runner = ParallelPipelineRunner(self, parallel_class(**pipeline_args))
         logging.getLogger().debug(

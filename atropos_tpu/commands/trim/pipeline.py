@@ -9,6 +9,11 @@ Control-flow parity with ``atropos/commands/trim/__init__.py:12-335``.
 from collections import defaultdict
 from collections.abc import Sequence
 
+from atropos_tpu.commands.multicore import (
+    MulticoreError,
+    ParallelPipelineMixin,
+    PendingQueue,
+)
 from atropos_tpu.commands.base import (
     PairedEndPipelineMixin,
     Pipeline,
@@ -259,3 +264,52 @@ class TrimSummary(Summary):
                 node["fraction_total_" + key] = self._ratio(total, whole)
             else:
                 node["fraction_" + key] = self._ratio(value, whole)
+
+
+class ParallelSingleEndTrimPipeline(ParallelPipelineMixin, SingleEndTrimPipeline):
+    """Module-level (spawned workers pickle pipelines by qualified name)."""
+
+
+class ParallelPairedEndTrimPipeline(ParallelPipelineMixin, PairedEndTrimPipeline):
+    """Module-level (spawned workers pickle pipelines by qualified name)."""
+
+
+class OrderPreservingWriterResultHandler(WriterResultHandler):
+    """Buffers out-of-order batches, flushing in input order."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.pending = None
+        self.cur_batch = None
+
+    def start(self, worker=None):
+        super().start(worker)
+        self.pending = PendingQueue()
+        self.cur_batch = 1
+
+    def write_result(self, batch_num, result):
+        if batch_num != self.cur_batch:
+            self.pending.push(batch_num, result)
+            return
+        self.writers.write_result(result, self.compressed)
+        self.cur_batch += 1
+        self.consume_pending()
+
+    def consume_pending(self):
+        while not self.pending.empty and (
+            self.cur_batch == self.pending.min_priority
+        ):
+            self.writers.write_result(self.pending.pop(), self.compressed)
+            self.cur_batch += 1
+
+    def finish(self, total_batches=None):
+        if total_batches is not None:
+            self.consume_pending()
+            if self.cur_batch != total_batches + 1:
+                raise MulticoreError(
+                    "OrderPreservingWriterResultHandler finishing "
+                    "without having seen {} of {} batches".format(
+                        total_batches + 1 - self.cur_batch, total_batches
+                    )
+                )
+        super().finish(total_batches=total_batches)

@@ -26,7 +26,7 @@ from atropos_tpu.adapters import Adapter, ColorspaceAdapter, PREFIX, SUFFIX
 from atropos_tpu.align import Match
 from atropos_tpu.align.batched import (
     BatchAligner,
-    BatchMultiAligner,
+    BatchInsertMatcher,
     encode_reads,
 )
 from atropos_tpu.align.flags import (
@@ -334,9 +334,8 @@ class TrimEngine:
             idx = modifiers.modifier_indexes[InsertAdapterCutter][0]
             self.insert_cutter = modifiers.modifiers[idx]
             aligner = self.insert_cutter.aligner
-            self._insert_matcher = BatchMultiAligner(
+            self._insert_matcher = BatchInsertMatcher(
                 aligner.max_insert_mismatch_frac,
-                flags=START_WITHIN_SEQ1 | STOP_WITHIN_SEQ2,
                 min_overlap=aligner.min_insert_overlap,
                 max_matches=100,
             )
@@ -370,15 +369,16 @@ class TrimEngine:
         return cls(modifiers, options.paired)
 
     def _insert_candidates(self, staged):
-        """Batched insert-overlap matching: for each eligible pair, run the
-        no-indel top-K aligner on (rc(read2), read1) truncated to equal
-        length — exactly the scalar ``InsertAligner.match_insert`` setup —
-        grouped by that length so each group shares one compiled kernel.
-        Returns a per-pair list of candidate lists (``False`` = pair not
-        matched here, scalar path decides)."""
+        """Batched insert-overlap matching: for each eligible pair, run
+        the variable-length diagonal matcher on (rc(read2), read1)
+        truncated to equal length — exactly the scalar
+        ``InsertAligner.match_insert`` setup — in ONE kernel call for the
+        whole batch (per-pair length is data, not shape). Returns a
+        per-pair list of candidate lists (``False`` = pair not matched
+        here, scalar path decides)."""
         candidates = [False] * len(staged)
         min_len = self.insert_cutter.min_insert_len
-        groups = {}
+        items = []
         for idx, (read1, read2) in enumerate(staged):
             if read2 is None:
                 continue
@@ -388,20 +388,23 @@ class TrimEngine:
             seq_len = min(len1, len2)
             ref = reverse_complement(read2.sequence[:seq_len])
             query = read1.sequence[:seq_len]
-            groups.setdefault(seq_len, []).append((idx, ref, query))
-        for m, items in groups.items():
-            batch = len(items)
-            refs = np.zeros((batch, m), np.uint8)
-            queries = np.zeros((batch, m), np.uint8)
-            for b, (_, ref, query) in enumerate(items):
-                refs[b] = np.frombuffer(ref.encode("ascii"), np.uint8)
-                queries[b] = np.frombuffer(query.encode("ascii"), np.uint8)
-            out = self._insert_matcher.locate_same_shape(
-                refs, queries, m, np.full(batch, m, np.int32)
+            items.append((idx, ref, query, seq_len))
+        if not items:
+            return candidates
+        width = max(8, max(item[3] for item in items))
+        batch = len(items)
+        refs = np.zeros((batch, width), np.uint8)
+        queries = np.zeros((batch, width), np.uint8)
+        lengths = np.zeros(batch, np.int32)
+        for b, (_, ref, query, seq_len) in enumerate(items):
+            refs[b, :seq_len] = np.frombuffer(ref.encode("ascii"), np.uint8)
+            queries[b, :seq_len] = np.frombuffer(
+                query.encode("ascii"), np.uint8
             )
-            out_np = {key: np.asarray(val) for key, val in out.items()}
-            for b, (idx, _, _) in enumerate(items):
-                candidates[idx] = BatchMultiAligner.extract(out_np, b)
+            lengths[b] = seq_len
+        found = self._insert_matcher.candidates(refs, queries, lengths)
+        for b, (idx, _, _, _) in enumerate(items):
+            candidates[idx] = found[b]
         return candidates
 
     # -- per-read application of a non-cutter modifier entry ----------------

@@ -1,4 +1,4 @@
-"""Turbo trim path: zero-Python-object streaming trim.
+"""Turbo trim path: zero-Python-object, latency-hiding streaming trim.
 
 For the common single-end configurations (fixed cuts + quality/NextSeq
 trimming + 3'/5' adapter trimming + length/N filters, action=trim) the
@@ -9,12 +9,28 @@ streams the input file in chunks through the native C parser
 matrices, resolves the final windows, and assembles output bytes with the
 native formatter — no per-read Python objects anywhere.
 
+The device interaction is fully pipelined (``DEPTH`` batches in flight):
+
+- **submit**: one uint8 upload per batch (sequences, plus qualities when
+  a quality stage is configured); the quality/NextSeq kernels, the
+  device-side uppercase + transpose, and every adapter's DP kernel are
+  dispatched asynchronously; their outputs are concatenated on device
+  into one int32 ``bundle`` [K, B].
+- **resolve**: a single ``np.asarray(bundle)`` fetch per batch, then all
+  interval resolution, validation, statistics (vectorized bincounts) and
+  the native formatter run on host while later batches compute on device.
+
+This hides both kernel time and host-device round-trip latency: the host
+parse/format work for batch i overlaps the device DP for batches
+i+1..i+DEPTH. Only a 5'-quality cutoff forces a mid-batch synchronization
+(the adapter stage must re-gather at a data-dependent window start).
+
 Output is byte-identical to the scalar pipeline (asserted by the
 differential tests); all summary statistics (per-adapter histograms,
-trimmed-bp counters, filter counts) are accumulated via numpy and written
-into the same stat objects the scalar pipeline uses, so reports are
-unchanged.
+trimmed-bp counters, filter counts) are accumulated into the same stat
+objects the scalar pipeline uses, so reports are unchanged.
 """
+import collections
 import logging
 import os
 
@@ -36,11 +52,6 @@ from atropos_tpu.commands.trim.modifiers import (
     UnconditionalCutter,
 )
 from atropos_tpu import runtime
-from atropos_tpu.align.batched import (
-    BatchAligner,
-    nextseq_trim_batch,
-    quality_trim_batch,
-)
 
 _UPPER_LUT = None
 
@@ -56,11 +67,33 @@ def _upper(arr):
     return _UPPER_LUT[arr]
 
 
+def _env_int(name, default):
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+class _Inflight:
+    """One submitted batch: the device bundle plus the host context needed
+    to resolve it (kept alive until resolution)."""
+
+    __slots__ = (
+        "bundle", "chunk", "sub", "batch", "width",
+        "keep_start", "keep_stop", "n", "seqs", "host_q",
+    )
+
+    def __init__(self, **kw):
+        for key, val in kw.items():
+            setattr(self, key, val)
+
+
 class TurboTrimRunner:
     """Streaming interval-based trim for eligible configurations."""
 
     CHUNK_BYTES = 64 * 1024 * 1024
-    MAX_BATCH = 16384
+    MAX_BATCH = _env_int("ATROPOS_TPU_TURBO_BATCH", 16384)
+    DEPTH = _env_int("ATROPOS_TPU_TURBO_DEPTH", 3)
 
     @classmethod
     def build(cls, command_runner, record_handler, writers):
@@ -69,13 +102,13 @@ class TurboTrimRunner:
 
         options = command_runner.options
         if not runtime.available():
-            return None
+            return cls._decline("native runtime unavailable")
         if options.paired or options.colorspace:
-            return None
+            return cls._decline("paired or colorspace input")
         if not isinstance(record_handler, RecordHandler):
-            return None
+            return cls._decline("non-default record handler")
         if options.action != "trim" or options.times != 1:
-            return None
+            return cls._decline("action!=trim or times>1")
         # single-file FASTQ input/output (optionally gz/bz2/xz compressed:
         # input streams through the codec, output goes through the same
         # xopen writer the scalar pipeline uses, so bytes stay identical)
@@ -83,16 +116,16 @@ class TurboTrimRunner:
 
         input1 = options.input1
         if not input1 or not isinstance(input1, str):
-            return None
+            return cls._decline("non-path input")
         if options.input2 or options.interleaved_input:
-            return None
+            return cls._decline("paired input")
         if splitext_compressed(input1)[1] not in (".fastq", ".fq"):
-            return None
+            return cls._decline("non-FASTQ input")
         output = options.output
         if not output or output == "-" or "{name}" in (output or ""):
-            return None
+            return cls._decline("stdout or demultiplexed output")
         if splitext_compressed(output)[1] not in (".fastq", ".fq"):
-            return None
+            return cls._decline("non-FASTQ output")
         if (
             options.info_file
             or options.rest_file
@@ -103,7 +136,7 @@ class TurboTrimRunner:
             or options.merged_output
             or options.stats
         ):
-            return None
+            return cls._decline("side-channel outputs or --stats")
 
         modifiers = record_handler.modifiers
         cut_front = cut_back = 0
@@ -121,8 +154,10 @@ class TurboTrimRunner:
             elif isinstance(mod, AdapterCutter):
                 cutter = mod
             else:
-                return None
-        # stage order must be the default C → G → Q → A
+                return cls._decline(
+                    "unsupported modifier %s" % type(mod).__name__
+                )
+        # stage order must be the default C -> G -> Q -> A
         order = [
             type(entry[0] if isinstance(entry, list) else entry)
             for entry in modifiers.modifiers
@@ -138,18 +173,17 @@ class TurboTrimRunner:
             if present
         ]
         if order != expected:
-            return None
+            return cls._decline("non-default op order")
 
         adapters = cutter.adapters if cutter else []
         for adapter in adapters:
             if not isinstance(adapter, Adapter) or isinstance(
                 adapter, ColorspaceAdapter
             ):
-                return None
+                return cls._decline("non-plain adapter")
             if not adapter.indels and adapter.where in (PREFIX, SUFFIX):
                 # no-indel anchored compare: host path (rare)
-                return None
-
+                return cls._decline("anchored no-indel adapter")
         filters = record_handler.filters
         for ftype in filters.filters:
             if ftype not in (
@@ -159,7 +193,9 @@ class TurboTrimRunner:
                 TrimmedFilter,
                 UntrimmedFilter,
             ):
-                return None
+                return cls._decline(
+                    "unsupported filter %s" % ftype.__name__
+                )
 
         return cls(
             command_runner,
@@ -171,6 +207,11 @@ class TurboTrimRunner:
             nextseq=nextseq,
             cutter=cutter,
         )
+
+    @staticmethod
+    def _decline(reason):
+        logging.getLogger().info("turbo path declined: %s", reason)
+        return None
 
     def __init__(
         self,
@@ -199,16 +240,162 @@ class TurboTrimRunner:
         self._aligners = [
             make_batch_aligner(adapter) for adapter in self.adapters
         ]
+        # host-side wildcard translation tables (None = raw ASCII compare)
+        from atropos_tpu.align.batched import _translation_lut
 
-    # -- main loop ----------------------------------------------------------
+        self._luts = []
+        for adapter in self.adapters:
+            if adapter.adapter_wildcards or adapter.read_wildcards:
+                self._luts.append(
+                    _translation_lut(
+                        adapter.adapter_wildcards,
+                        adapter.read_wildcards,
+                        for_query=True,
+                    )
+                )
+            else:
+                self._luts.append(None)
+        self._needs_quals = quality is not None or nextseq is not None
+        self._sync_quality = quality is not None and quality.cutoff_front > 0
+        self._asteps = {}
+        self._sharded = False
+        self._has_max_rmp = any(
+            adapter.max_rmp is not None for adapter in self.adapters
+        )
+
+    # -- device step builders -------------------------------------------------
+
+    def _get_astep(self, width, pad_b, n_extra):
+        """Jitted device graph for one batch shape: quality/NextSeq kernels
+        (unless the 5'-cutoff sync path already ran them), device-side
+        uppercase + pad + transpose, every adapter's DP kernel, one
+        concatenated int32 bundle out.
+
+        Bundle rows: [7 per adapter: found,start1,stop1,start2,stop2,
+        matches,cost] + [win_len] + n_extra quality rows.
+        """
+        key = (width, pad_b, n_extra)
+        if key in self._asteps:
+            return self._asteps[key]
+
+        import jax
+        import jax.numpy as jnp
+
+        from atropos_tpu.align.pallas_kernel import PallasAligner
+        from atropos_tpu.parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+        aligners = self._aligners
+        luts = self._luts
+        L_pad = max(8, width)
+
+        def step(seqs, win_len, extras, *translated):
+            # seqs: [pad_b, width] uint8 raw; win_len: [pad_b] int32;
+            # extras: [n_extra, pad_b] int32; translated: per-wildcard-
+            # adapter pre-translated uppercase matrices [pad_b, width]
+            rows = []
+            upper = None
+            reads_T = None
+            t_iter = iter(translated)
+            for idx, aligner in enumerate(aligners):
+                if luts[idx] is None:
+                    if upper is None:
+                        low = (seqs >= 97) & (seqs <= 122)
+                        upper = seqs - low.astype(jnp.uint8) * 32
+                    mat = upper
+                else:
+                    mat = next(t_iter)
+                if isinstance(aligner, PallasAligner):
+                    if luts[idx] is None:
+                        if reads_T is None:
+                            reads_T = jnp.pad(
+                                mat, ((0, 0), (0, L_pad - width))
+                            ).T
+                        r_t = reads_T
+                    else:
+                        r_t = jnp.pad(mat, ((0, 0), (0, L_pad - width))).T
+                    out = aligner.locate_device(r_t, win_len[None, :])
+                    rows.append(out[:7, :])
+                else:
+                    out = aligner.locate_device(mat, win_len)
+                    rows.append(
+                        jnp.stack(
+                            [
+                                out["found"].astype(jnp.int32),
+                                out["start1"],
+                                out["stop1"],
+                                out["start2"],
+                                out["stop2"],
+                                out["matches"],
+                                out["cost"],
+                            ]
+                        )
+                    )
+            rows.append(win_len[None, :])
+            if n_extra:
+                rows.append(extras)
+            if sharded:
+                # product-path collective statistics: the per-shard match
+                # count and window-bp reduce across the mesh with psum —
+                # the device image of the reference's merge_dicts summary
+                # algebra. The resolver cross-checks them against the
+                # host-derived values (lanes 0/1 of the extra row).
+                from atropos_tpu.parallel import READS_AXIS
+
+                found_any = jnp.zeros(win_len.shape, bool)
+                for block in rows[: len(aligners)]:
+                    found_any = found_any | (block[0, :] > 0)
+                found_any = found_any & (win_len > 0)
+                matched = jax.lax.psum(
+                    jnp.sum(found_any.astype(jnp.int32)), READS_AXIS
+                )
+                win_bp = jax.lax.psum(
+                    jnp.sum(jnp.maximum(win_len, 0)), READS_AXIS
+                )
+                stats_row = jnp.zeros((1, win_len.shape[0]), jnp.int32)
+                stats_row = jnp.concatenate(
+                    [
+                        matched[None, None],
+                        win_bp[None, None],
+                        stats_row[:, 2:],
+                    ],
+                    axis=1,
+                )
+                rows.append(stats_row)
+            return jnp.concatenate(rows, axis=0)
+
+        sharded = mesh is not None and mesh.devices.size > 1
+        if sharded:
+            # in-process data parallelism: split the batch axis over the
+            # local device mesh; every shard runs the identical step
+            from jax.sharding import PartitionSpec as P
+
+            from atropos_tpu.parallel import READS_AXIS, _shard_map
+
+            n_tr = sum(1 for lut in luts if lut is not None)
+            in_specs = (
+                P(READS_AXIS, None),   # seqs
+                P(READS_AXIS),         # win_len
+                P(None, READS_AXIS),   # extras
+            ) + (P(READS_AXIS, None),) * n_tr
+            step = _shard_map(
+                step, mesh, in_specs=in_specs, out_specs=P(None, READS_AXIS)
+            )
+            self._sharded = True
+
+        self._asteps[key] = jax.jit(step)
+        return self._asteps[key]
+
+    # -- main loop ------------------------------------------------------------
 
     def run(self):
         options = self.options
         logging.getLogger().info("Running turbo device trim pipeline")
-        out = self.writers.get_writer(options.output)
+        out = self._open_output(options.output)
 
         total_records = 0
         total_bp = 0
+        inflight = collections.deque()
         # multi-host sharding: chunk boundaries are deterministic (same
         # file, same chunking), so round-robin chunk ownership partitions
         # the records exactly once across hosts
@@ -235,12 +422,20 @@ class TurboTrimRunner:
                 carry = buf[chunk.consumed :] if data else b""
                 if chunk.n:
                     if chunk_index % shard_count == shard_rank:
-                        records, bp = self._process_chunk(chunk, out)
-                        total_records += records
-                        total_bp += bp
+                        total_records += chunk.n
+                        total_bp += int(chunk.seq_len.sum())
+                        for start in range(0, chunk.n, self.MAX_BATCH):
+                            sub = slice(
+                                start, min(start + self.MAX_BATCH, chunk.n)
+                            )
+                            inflight.append(self._submit(chunk, sub))
+                            while len(inflight) >= self.DEPTH:
+                                self._resolve(inflight.popleft(), out)
                     chunk_index += 1
                 if not data:
                     break
+        while inflight:
+            self._resolve(inflight.popleft(), out)
 
         summary = self.command_runner.summary
         if total_records:
@@ -262,23 +457,45 @@ class TurboTrimRunner:
                 sum_total_bp_count=0,
             )
         summary.update(self.record_handler.summarize())
+        out.flush()
         self.writers.close()
         return 0
 
-    def _process_chunk(self, chunk, out):
-        total = chunk.n
-        total_bp = int(chunk.seq_len.sum())
-        for start in range(0, total, self.MAX_BATCH):
-            sub = slice(start, min(start + self.MAX_BATCH, total))
-            self._process_batch(chunk, sub, out)
-        return total, total_bp
+    # -- submit: host prep + async device dispatch ----------------------------
 
-    def _process_batch(self, chunk, sub, out):
+    def _pad_batch(self, batch):
+        """Device batch width: Pallas needs a BLOCK multiple (per mesh
+        shard); XLA shapes bucket to powers of two so the compile count
+        stays small. Either way the result divides evenly over the local
+        device mesh."""
+        from atropos_tpu.align.pallas_kernel import PallasAligner
+        from atropos_tpu.parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+        ndev = mesh.devices.size if mesh is not None else 1
+        block = 64
+        for aligner in self._aligners:
+            if isinstance(aligner, PallasAligner):
+                block = max(block, aligner.BLOCK)
+        if block > 64:
+            return -(-batch // (block * ndev)) * block * ndev
+        size = 64
+        while size < batch or size % ndev:
+            size *= 2
+        return size
+
+    def _submit(self, chunk, sub):
+        import jax.numpy as jnp
+
+        from atropos_tpu.align.batched import (
+            nextseq_trim_batch,
+            quality_trim_batch,
+        )
+
         n = chunk.seq_len[sub].astype(np.int32)
         batch = n.shape[0]
         keep_start = np.zeros(batch, np.int32)
         keep_stop = n.copy()
-        orig_len = n.copy()
 
         # C: fixed cuts (Sequence.clip semantics; no-op for empty reads)
         if self.cut_front or self.cut_back:
@@ -295,63 +512,156 @@ class TurboTrimRunner:
             )
 
         width = int(n.max()) if batch else 0
-        width = max(8, width)
+        width = max(8, -(-width // 32) * 32)
+        pad_b = self._pad_batch(batch)
+
         # window matrices gathered once at the fixed-cut offset
-        seqs = self._gather(chunk, sub, chunk.seq_off, keep_start, width)
-        quals = self._gather(chunk, sub, chunk.qual_off, keep_start, width)
+        seqs = self._gather(chunk, sub, chunk.seq_off, keep_start, width, pad_b)
         win_len = keep_stop - keep_start
+        host_q = {}
+        extras = []
 
-        # G: NextSeq two-color 3' trim
-        if self.nextseq is not None:
-            stops = np.asarray(
-                nextseq_trim_batch(
-                    seqs, quals, win_len, self.nextseq.cutoff, self.nextseq.base
+        d_seqs = None
+        if self._needs_quals:
+            quals = self._gather(
+                chunk, sub, chunk.qual_off, keep_start, width, pad_b
+            )
+            win_dev = jnp.asarray(np.pad(win_len, (0, pad_b - batch)))
+            d_seqs = jnp.asarray(seqs)
+            d_quals = jnp.asarray(quals)
+            if self.nextseq is not None:
+                g_stop = nextseq_trim_batch(
+                    d_seqs, d_quals, win_dev, self.nextseq.cutoff,
+                    self.nextseq.base,
                 )
-            )
-            nonempty = win_len > 0
-            new_stop = keep_start + stops
-            self.nextseq.trimmed_bases += int(
-                (keep_stop - new_stop)[nonempty].sum()
-            )
-            keep_stop = np.where(nonempty, new_stop, keep_stop)
-            win_len = keep_stop - keep_start
-
-        # Q: BWA-style quality trim
-        if self.quality is not None:
-            q_start, q_stop = (
-                np.asarray(x)
-                for x in quality_trim_batch(
-                    quals,
-                    win_len,
+                extras.append(g_stop)
+                win_dev = jnp.where(win_dev > 0, g_stop, win_dev)
+            if self.quality is not None:
+                q_start, q_stop = quality_trim_batch(
+                    d_quals,
+                    win_dev,
                     self.quality.cutoff_front,
                     self.quality.cutoff_back,
                     self.quality.base,
                 )
-            )
-            nonempty = win_len > 0
-            new_start = keep_start + q_start
-            new_stop = keep_start + q_stop
-            self.quality.trimmed_bases += int(
-                (win_len - (q_stop - q_start))[nonempty].sum()
-            )
-            keep_start = np.where(nonempty, new_start, keep_start)
-            keep_stop = np.where(nonempty, new_stop, keep_stop)
-            if self.quality.cutoff_front:
-                # window start moved: regather for the adapter stage
+                extras.extend([q_start, q_stop])
+                win_dev = jnp.where(
+                    win_dev > 0, q_stop - q_start, win_dev
+                )
+            if self._sync_quality:
+                # 5' quality cutoff moves the window start: fetch the
+                # quality results now (synchronous), apply windows + stats
+                # here, and re-gather for the adapter stage
+                fetched = [np.asarray(x)[:batch] for x in extras]
+                cursor = 0
+                wl = keep_stop - keep_start
+                if self.nextseq is not None:
+                    g = fetched[cursor]
+                    cursor += 1
+                    nz = wl > 0
+                    new_stop = keep_start + g
+                    self.nextseq.trimmed_bases += int(
+                        (keep_stop - new_stop)[nz].sum()
+                    )
+                    keep_stop = np.where(nz, new_stop, keep_stop)
+                    wl = keep_stop - keep_start
+                qs, qp = fetched[cursor], fetched[cursor + 1]
+                nz = wl > 0
+                origin = keep_start
+                self.quality.trimmed_bases += int(
+                    (wl - (qp - qs))[nz].sum()
+                )
+                keep_start = np.where(nz, origin + qs, keep_start)
+                keep_stop = np.where(nz, origin + qp, keep_stop)
                 win_len = keep_stop - keep_start
-                seqs = self._gather(chunk, sub, chunk.seq_off, keep_start, width)
-            else:
-                win_len = keep_stop - keep_start
+                seqs = self._gather(
+                    chunk, sub, chunk.seq_off, keep_start, width, pad_b
+                )
+                win_dev = jnp.asarray(np.pad(win_len, (0, pad_b - batch)))
+                extras = []
+                host_q = {"applied": True}
+                d_seqs = None
+        else:
+            win_dev = jnp.asarray(np.pad(win_len, (0, pad_b - batch)))
+
+        if d_seqs is None:
+            d_seqs = jnp.asarray(seqs)
+        n_extra = len(extras)
+        extras_arr = (
+            jnp.stack(extras).astype(jnp.int32)
+            if extras
+            else jnp.zeros((0, pad_b), jnp.int32)
+        )
+        translated = []
+        for lut in self._luts:
+            if lut is not None:
+                translated.append(jnp.asarray(lut[_upper(seqs)]))
+
+        step = self._get_astep(width, pad_b, n_extra)
+        if self._sharded:
+            from atropos_tpu.parallel import SHARD_COUNTS
+
+            SHARD_COUNTS["sharded_calls"] += 1
+        bundle = step(d_seqs, win_dev, extras_arr, *translated)
+        return _Inflight(
+            bundle=bundle,
+            chunk=chunk,
+            sub=sub,
+            batch=batch,
+            width=width,
+            keep_start=keep_start,
+            keep_stop=keep_stop,
+            n=n,
+            seqs=seqs,
+            host_q=host_q,
+        )
+
+    # -- resolve: one fetch + host logic --------------------------------------
+
+    def _resolve(self, tok, out):
+        arr_full = np.asarray(tok.bundle)
+        arr = arr_full[:, : tok.batch]
+        batch = tok.batch
+        keep_start = tok.keep_start
+        keep_stop = tok.keep_stop
+        n_adapt = len(self._aligners)
+        cursor = 7 * n_adapt + 1
+
+        if tok.host_q:
+            # sync 5'-cutoff path: quality windows and their stats were
+            # already applied at submit; tok.keep_start/stop are final
+            pass
+        elif self._needs_quals:
+            q_extras = []
+            if self.nextseq is not None:
+                q_extras.append(arr[cursor])
+                cursor += 1
+            if self.quality is not None:
+                q_extras.extend([arr[cursor], arr[cursor + 1]])
+                cursor += 2
+            keep_start, keep_stop = self._apply_quality(
+                tok, q_extras, keep_start, keep_stop
+            )
+
+        win_len = keep_stop - keep_start
 
         # A: adapter matching + trim
         matched = np.zeros(batch, bool)
-        if self.adapters:
-            seqs_u = _upper(seqs)
+        if self._aligners:
             best = None
-            for adapter_idx, aligner in enumerate(self._aligners):
-                res = aligner.locate_batch(seqs_u, win_len)
-                res = {key: np.array(val) for key, val in res.items()}
-                res["found"] &= win_len > 0
+            best_idx = None
+            for adapter_idx in range(n_adapt):
+                rows = arr[7 * adapter_idx : 7 * adapter_idx + 7]
+                res = dict(
+                    found=rows[0].astype(bool),
+                    start1=rows[1],
+                    stop1=rows[2],
+                    start2=rows[3],
+                    stop2=rows[4],
+                    matches=rows[5],
+                    cost=rows[6],
+                )
+                res["found"] = res["found"] & (win_len > 0)
                 res = self._validate(adapter_idx, res)
                 if best is None:
                     best = res
@@ -374,11 +684,30 @@ class TurboTrimRunner:
                 matched & ~front_match, keep_start + best["start2"], keep_stop
             )
             self._accumulate_adapter_stats(
-                best, best_idx, matched, front_match, win_len, seqs
+                best, best_idx, matched, front_match, win_len, tok.seqs
             )
             keep_start = new_start
             keep_stop = np.maximum(keep_start, new_stop)
             self.cutter.with_adapters += int(matched.sum())
+
+        if self._sharded:
+            # cross-check the psum-reduced device counters (last bundle
+            # row) against the host-derived values: proof the collective
+            # statistics path executed and agrees with the product output
+            from atropos_tpu.parallel import SHARD_COUNTS
+
+            psum_matched = int(arr_full[-1, 0])
+            psum_bp = int(arr_full[-1, 1])
+            SHARD_COUNTS["psum_counter_checks"] += 1
+            if not self._has_max_rmp:
+                host_matched = int(matched.sum())
+                host_bp = int(np.maximum(win_len, 0).sum())
+                if (psum_matched, psum_bp) != (host_matched, host_bp):
+                    raise AssertionError(
+                        "psum counters diverge from host: device (%d, %d) "
+                        "!= host (%d, %d)"
+                        % (psum_matched, psum_bp, host_matched, host_bp)
+                    )
 
         # filters, in registration order (first match wins)
         final_len = keep_stop - keep_start
@@ -390,7 +719,9 @@ class TurboTrimRunner:
             elif ftype is TooLongReadFilter:
                 hit = dest_none & (final_len > wrapper.filter.maximum_length)
             elif ftype is NContentFilter:
-                ncount = self._count_n(chunk, sub, keep_start, keep_stop, width)
+                ncount = self._count_n(
+                    tok.chunk, tok.sub, keep_start, keep_stop, tok.width
+                )
                 fil = wrapper.filter
                 if fil.is_proportion:
                     with np.errstate(divide="ignore", invalid="ignore"):
@@ -413,10 +744,56 @@ class TurboTrimRunner:
         if formatter is not None:
             formatter.written += int(keep.sum())
             formatter.read1_bp += int(final_len[keep].sum())
-            data = self._format(chunk, sub, keep_start, keep_stop, keep)
-            out.write(data.decode("ascii"))
+            data = self._format(tok.chunk, tok.sub, keep_start, keep_stop, keep)
+            out.write(data)
+
+    def _apply_quality(self, tok, q_extras, keep_start, keep_stop):
+        """Apply fetched NextSeq/quality windows and count their stats —
+        the async twin of the 5'-cutoff sync path in :meth:`_submit`."""
+        cursor = 0
+        win_len = keep_stop - keep_start
+        if self.nextseq is not None:
+            stops = q_extras[cursor]
+            cursor += 1
+            nonempty = win_len > 0
+            new_stop = keep_start + stops
+            self.nextseq.trimmed_bases += int(
+                (keep_stop - new_stop)[nonempty].sum()
+            )
+            keep_stop = np.where(nonempty, new_stop, keep_stop)
+            win_len = keep_stop - keep_start
+        if self.quality is not None:
+            q_start, q_stop = q_extras[cursor], q_extras[cursor + 1]
+            nonempty = win_len > 0
+            new_start = keep_start + q_start
+            new_stop = keep_start + q_stop
+            self.quality.trimmed_bases += int(
+                (win_len - (q_stop - q_start))[nonempty].sum()
+            )
+            keep_start = np.where(nonempty, new_start, keep_start)
+            keep_stop = np.where(nonempty, new_stop, keep_stop)
+        return keep_start, keep_stop
 
     # -- helpers ------------------------------------------------------------
+
+    def _open_output(self, path):
+        """Binary output handle (bytes from the native formatter go
+        straight through — no text-codec round trip). Honors the Writers
+        shard suffix (multi-host mode) and registers with the container so
+        close/force-create bookkeeping stays unified."""
+        from atropos_tpu.commands.trim.writers import add_suffix_to_path
+        from atropos_tpu.io import xopen
+
+        handle = self.writers.writers.get(path)
+        if handle is None:
+            physical = (
+                add_suffix_to_path(path, self.writers.suffix)
+                if self.writers.suffix
+                else path
+            )
+            handle = xopen(physical, "wb")
+            self.writers.writers[path] = handle
+        return handle
 
     @staticmethod
     def _open_input(path):
@@ -438,7 +815,7 @@ class TurboTrimRunner:
                 return mod
         raise AssertionError(mod_class)
 
-    def _gather(self, chunk, sub, offs, extra_off, width):
+    def _gather(self, chunk, sub, offs, extra_off, width, pad_b=None):
         from atropos_tpu.runtime import _i32, _i64, _lib, _u8
 
         offs_sub = np.ascontiguousarray(
@@ -447,7 +824,8 @@ class TurboTrimRunner:
         lens_sub = np.ascontiguousarray(
             (chunk.seq_len[sub] - extra_off).astype(np.int32)
         )
-        out = np.zeros((offs_sub.shape[0], width), dtype=np.uint8)
+        rows = pad_b if pad_b is not None else offs_sub.shape[0]
+        out = np.zeros((rows, width), dtype=np.uint8)
         _lib.gather_padded(
             _u8(chunk.buf), _i64(offs_sub), _i32(lens_sub),
             offs_sub.shape[0], width, _u8(out),
@@ -462,12 +840,15 @@ class TurboTrimRunner:
         found = res["found"]
         size = res["stop1"] - res["start1"]
         ok = found.copy()
-        for i in np.nonzero(found)[0]:
-            prob = adapter.match_probability(
-                int(res["matches"][i]), int(size[i])
-            )
-            if prob > adapter.max_rmp:
-                ok[i] = False
+        # vectorized over unique (matches, size) pairs
+        rows = np.nonzero(found)[0]
+        if rows.size:
+            keys = res["matches"][rows].astype(np.int64) * 100000 + size[rows]
+            for key in np.unique(keys):
+                mat, sz = divmod(int(key), 100000)
+                prob = adapter.match_probability(mat, sz)
+                if prob > adapter.max_rmp:
+                    ok[rows[keys == key]] = False
         res["found"] = ok
         return res
 
@@ -486,11 +867,22 @@ class TurboTrimRunner:
                 front |= mask & (best["start2"] == 0)
         return front
 
+    @staticmethod
+    def _bump_histograms(lengths_dict, errors_nested, lens, errs):
+        """Vectorized CountingDict/NestedDict accumulation: one bincount
+        over packed (length, errors) keys instead of a per-read loop."""
+        keys = lens.astype(np.int64) * 4096 + errs.astype(np.int64)
+        uniq, counts = np.unique(keys, return_counts=True)
+        for key, cnt in zip(uniq, counts):
+            ln, er = divmod(int(key), 4096)
+            lengths_dict[ln] += int(cnt)
+            errors_nested[ln][er] += int(cnt)
+
     def _accumulate_adapter_stats(
         self, best, best_idx, matched, front_match, win_len, seqs
     ):
         """Update per-adapter CountingDict/NestedDict stats exactly as
-        Adapter._trimmed_front/_trimmed_back do."""
+        Adapter._trimmed_front/_trimmed_back do (vectorized)."""
         for idx, adapter in enumerate(self.adapters):
             mask = matched & (best_idx == idx)
             if not mask.any():
@@ -498,27 +890,32 @@ class TurboTrimRunner:
             fmask = mask & front_match
             bmask = mask & ~front_match
             if fmask.any():
-                stops = best["stop2"][fmask]
-                errs = best["cost"][fmask]
-                for stop, err in zip(stops, errs):
-                    adapter.lengths_front[int(stop)] += 1
-                    adapter.errors_front[int(stop)][int(err)] += 1
+                self._bump_histograms(
+                    adapter.lengths_front,
+                    adapter.errors_front,
+                    best["stop2"][fmask],
+                    best["cost"][fmask],
+                )
             if bmask.any():
-                starts = best["start2"][bmask]
-                errs = best["cost"][bmask]
-                lens = win_len[bmask]
+                rstart = best["start2"][bmask]
+                removed = (win_len[bmask] - rstart).astype(np.int64)
+                self._bump_histograms(
+                    adapter.lengths_back,
+                    adapter.errors_back,
+                    removed,
+                    best["cost"][bmask],
+                )
                 rows = np.nonzero(bmask)[0]
-                for row, rstart, err, wlen in zip(rows, starts, errs, lens):
-                    removed = int(wlen - rstart)
-                    adapter.lengths_back[removed] += 1
-                    adapter.errors_back[removed][int(err)] += 1
-                    if rstart > 0:
-                        base = chr(seqs[row, rstart - 1])
-                    else:
-                        base = ""
+                prev = np.where(
+                    rstart > 0,
+                    seqs[rows, np.maximum(rstart - 1, 0)],
+                    0,
+                )
+                for byte, cnt in zip(*np.unique(prev, return_counts=True)):
+                    base = chr(int(byte))
                     if base not in "ACGT":
                         base = ""
-                    adapter.adjacent_bases[base] += 1
+                    adapter.adjacent_bases[base] += int(cnt)
 
     def _count_n(self, chunk, sub, keep_start, keep_stop, width):
         seqs = self._gather(chunk, sub, chunk.seq_off, keep_start, width)

@@ -31,8 +31,11 @@ from atropos_tpu.align.batched import (
 READS_AXIS = "reads"
 
 #: telemetry: number of batched-aligner calls that ran sharded over the
-#: local device mesh (tests assert the CLI trim path actually shards).
-SHARD_COUNTS = {"sharded_calls": 0}
+#: local device mesh, and number of resolved batches whose psum-reduced
+#: device counters were verified against the host-derived statistics
+#: (tests and the multi-chip dryrun assert the CLI trim path actually
+#: shards AND runs its statistics through collectives).
+SHARD_COUNTS = {"sharded_calls": 0, "psum_counter_checks": 0}
 
 _DP_MESH_CACHE = []  # [] = undecided, [None] = off, [Mesh] = on
 

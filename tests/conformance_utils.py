@@ -11,6 +11,17 @@ from atropos_tpu.io import xopen
 
 CONFORMANCE_DIR = os.path.join(os.path.dirname(__file__), "conformance")
 
+#: fallback reasons that are legitimately scalar-only — anything else
+#: failing to build the engine in an engine-forced golden run is a bug
+#: (a silently de-batched suite would otherwise re-test the scalar path)
+EXPECTED_ENGINE_FALLBACKS = frozenset(
+    {"colorspace", "no adapter cutter stage"}
+)
+
+#: batched-vs-scalar tally across the golden suite (reported by the
+#: session-finish hook in conftest.py)
+ENGINE_RUN_TALLY = {"engine": 0, "turbo": 0, "whitelisted_fallback": 0}
+
 
 def datapath(path):
     return os.path.join(CONFORMANCE_DIR, "data", path)
@@ -91,8 +102,35 @@ def run_trim(
     # reports to a scratch file, not stdout
     params += ["--report-file", str(tmp_path / "report.txt"), "--quiet"]
 
+    engine_forced = (
+        os.environ.get("ATROPOS_TPU_ENGINE") == "1"
+        and "--threads" not in params
+    )
+    if engine_forced:
+        from atropos_tpu import engine as engine_mod
+
+        counts_before = dict(engine_mod.BUILD_COUNTS)
+
     command = get_command("trim")
     retcode, summary = command.execute(params)
+
+    if engine_forced and retcode == 0:
+        # Prove the batched path actually ran (or the fallback reason is
+        # on the legitimate whitelist): a future change that silently
+        # de-batches the suite must FAIL here, not quietly re-test scalar.
+        if summary.get("mode") == "turbo":
+            ENGINE_RUN_TALLY["turbo"] += 1
+        elif (
+            engine_mod.BUILD_COUNTS["engine"] > counts_before["engine"]
+        ):
+            ENGINE_RUN_TALLY["engine"] += 1
+        else:
+            reason = engine_mod.LAST_FALLBACK_REASON
+            assert reason in EXPECTED_ENGINE_FALLBACKS, (
+                "engine-forced golden run fell back to the scalar "
+                "pipeline for a non-whitelisted reason: {!r}".format(reason)
+            )
+            ENGINE_RUN_TALLY["whitelisted_fallback"] += 1
     assert summary is not None
     assert isinstance(summary, dict)
     if "exception" in summary and summary["exception"] is not None:

@@ -45,6 +45,21 @@ def pytest_generate_tests(metafunc):
         )
 
 
+def pytest_terminal_summary(terminalreporter):
+    """Report the batched-vs-scalar split of the engine-forced golden runs
+    so coverage regressions are visible in the test log."""
+    from .conformance_utils import ENGINE_RUN_TALLY
+
+    total = sum(ENGINE_RUN_TALLY.values())
+    if total:
+        terminalreporter.write_line(
+            "engine-forced golden runs: {turbo} turbo, {engine} engine, "
+            "{whitelisted_fallback} whitelisted-scalar (of {total})".format(
+                total=total, **ENGINE_RUN_TALLY
+            )
+        )
+
+
 @pytest.fixture(autouse=True)
 def engine_mode(request, monkeypatch):
     """Force the trim pipeline mode for parametrized golden tests.

@@ -144,6 +144,51 @@ def test_multi_no_match():
     assert got == want == [None]
 
 
+def _run_insert_matcher(refs, queries, rate, min_overlap, max_matches=100):
+    """Drive the variable-length BatchInsertMatcher (refs/queries already
+    truncated pair-wise to equal length, as InsertAligner does)."""
+    from atropos_tpu.align.batched import BatchInsertMatcher
+
+    lengths = np.array([len(r) for r in refs], np.int32)
+    width = max(8, int(lengths.max()) if len(refs) else 8)
+    matcher = BatchInsertMatcher(rate, min_overlap, max_matches)
+    return matcher.candidates(
+        _encode(refs, width), _encode(queries, width), lengths
+    )
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.1, 0.2, 0.34])
+@pytest.mark.parametrize("min_overlap", [1, 5])
+def test_insert_matcher_variable_lengths(rate, min_overlap):
+    """The diagonal closed-form matcher must reproduce the scalar
+    MultiAligner candidate stream for MIXED pair lengths in one batch
+    (the same-length-group kernel cannot do this at all)."""
+    rng = random.Random(hash((rate, min_overlap)) & 0xFFFFFFFF)
+    refs, queries = [], []
+    for _ in range(80):
+        m = rng.randint(max(1, min_overlap), 48)
+        ref, q = _random_pair(rng, m)
+        refs.append(ref)
+        queries.append(q)
+    # low-complexity + exact + empty-ish edge cases
+    refs += ["ATATATATATATATAT", "ACGTACGTACGT", "A"]
+    queries += ["ATATATATATATATAT", "ACGTACGTACGT", "A"]
+    got = _run_insert_matcher(refs, queries, rate, min_overlap)
+    want = _oracle_batch(refs, queries, INSERT_FLAGS, rate, min_overlap)
+    for b, (g, w) in enumerate(zip(got, want)):
+        assert g == w, "pair {} ({!r}/{!r}): {} != {}".format(
+            b, refs[b], queries[b], g, w
+        )
+
+
+def test_insert_matcher_cap_and_exact():
+    ref = "ATATATATATATATATATAT"
+    for cap in (1, 2, 5, 100):
+        got = _run_insert_matcher([ref], [ref], 0.3, 1, max_matches=cap)
+        want = _oracle_batch([ref], [ref], INSERT_FLAGS, 0.3, 1, cap)
+        assert got == want, cap
+
+
 def test_multi_matches_insert_aligner_usage():
     """End-to-end shape used by InsertAligner: ref = rc(read2), query =
     read1, truncated to equal length."""
