@@ -13,7 +13,6 @@ from argparse import (
 import copy
 import logging
 from multiprocessing import cpu_count
-import operator
 import os
 import platform
 import re
@@ -304,7 +303,11 @@ class BaseCommandParser:
         pass
 
 
-# --- argparse extensions ---------------------------------------------------
+# --- argument conversion & validation (composable closures) -----------------
+#
+# Every option type is a plain function ``str -> value``; richer types are
+# built by closing over parameters and chaining converters. argparse treats
+# ArgumentTypeError as a per-flag usage error, so validators raise that.
 
 
 class ParagraphHelpFormatter(HelpFormatter):
@@ -317,100 +320,112 @@ class ParagraphHelpFormatter(HelpFormatter):
         return "\n\n".join(paragraphs)
 
 
-class TypeWithArgs:
-    """Callable data type parameterized with static arguments."""
+def chain(*steps):
+    """Compose converters left to right: chain(f, g)(x) == g(f(x))."""
 
-    def __init__(self, *args, **kwargs):
-        self.args = args
-        self.kwargs = kwargs
+    def convert(value):
+        for step in steps:
+            value = step(value)
+        return value
 
-    def __call__(self, string):
-        return self._do_call(string, *self.args, **self.kwargs) or string
-
-    def _do_call(self, string, *args, **kwargs):
-        raise NotImplementedError()
+    return convert
 
 
-class CompositeType:
-    def __init__(self, *types):
-        self.types = types
+def bounded(type_=int, low=None, high=None, low_exclusive=False):
+    """Numeric converter with range validation."""
 
-    def __call__(self, string):
-        result = string
-        for datatype in self.types:
-            result = datatype(result)
-        return result
+    def convert(text):
+        value = type_(text)
+        if low is not None:
+            if value < low or (low_exclusive and value == low):
+                raise ArgumentTypeError(
+                    "value must be {} {}, got {}".format(
+                        ">" if low_exclusive else ">=", low, value
+                    )
+                )
+        if high is not None and value > high:
+            raise ArgumentTypeError(
+                "value must be <= {}, got {}".format(high, value)
+            )
+        return value
+
+    return convert
 
 
-class ComparisonValidator(TypeWithArgs):
-    def _do_call(self, lhs, rhs, oper, expected=True):
-        assert oper(lhs, rhs) == expected, "{}({}, {}) != {}".format(
-            oper, lhs, rhs, expected
-        )
+def positive(type_=int, inclusive=False):
+    """A number > 0 (or >= 0 when ``inclusive``)."""
+    return bounded(type_, low=0, low_exclusive=not inclusive)
 
 
-class CharList:
-    def __init__(self, choices):
-        self.choices = set(choices)
+def between(min_val=None, max_val=None, type_=int):
+    return bounded(type_, low=min_val, high=max_val)
 
-    def __call__(self, string):
-        chars = list(string)
-        assert all(char in self.choices for char in chars)
+
+probability = between(0, 1, float)
+
+
+def CharList(choices):
+    """A bare string of characters, each drawn from ``choices``."""
+    allowed = frozenset(choices)
+
+    def convert(text):
+        chars = list(text)
+        bad = [c for c in chars if c not in allowed]
+        if bad:
+            raise ArgumentTypeError(
+                "invalid characters {!r}; allowed: {}".format(
+                    "".join(bad), "".join(sorted(allowed))
+                )
+            )
         return chars
 
+    return convert
 
-class Delimited(TypeWithArgs):
-    """Split a delimited string argument into a typed list."""
 
-    def _do_call(
-        self, string, delim=",", data_type=None, choices=None, min_len=None,
-        max_len=None,
-    ):
-        if isinstance(string, str):
-            vals = string.split(delim) if delim else (string,)
+def Delimited(delim=",", data_type=None, choices=None, min_len=None, max_len=None):
+    """A delimiter-separated list with optional per-item conversion,
+    ``*``-expansion to all choices, and length bounds."""
+
+    def convert(value):
+        if isinstance(value, str):
+            items = value.split(delim) if delim else (value,)
         else:
-            vals = string
-
-        if vals[0] == "*" and choices is not None:
-            vals = choices
-
+            items = value
+        if choices is not None and items[0] == "*":
+            items = choices
         if data_type:
-            vals = [data_type(v) for v in vals]
+            items = [data_type(item) for item in items]
+        if min_len and len(items) < min_len:
+            raise ArgumentTypeError(
+                "there must be at least {} values".format(min_len)
+            )
+        if max_len and len(items) > max_len:
+            raise ArgumentTypeError(
+                "there can be at most {} values".format(max_len)
+            )
+        return items
 
-        if min_len and len(vals) < min_len:
-            # ArgumentTypeError (not ArgumentError) so argparse renders a
-            # clean per-flag message on every Python version
-            raise ArgumentTypeError("there must be at least {} values".format(min_len))
-
-        if max_len and len(vals) > max_len:
-            raise ArgumentTypeError("there can be at most {} values".format(max_len))
-
-        return vals
-
-
-ACCESS = dict(r=os.R_OK, rU=os.R_OK, rb=os.R_OK, w=os.W_OK, wb=os.W_OK, x=os.X_OK)
+    return convert
 
 
-class AccessiblePath(TypeWithArgs):
-    def _do_call(self, path, type_, mode):
-        if type_ == "f" and path in (STDOUT, STDERR):
+def _readable(kind):
+    """Path converter asserting read access (std streams pass through)."""
+
+    def convert(path):
+        if kind == "f" and path in (STDOUT, STDERR):
             return path
-        if "w" in mode:
-            return check_writeable(path, type_)
-        return check_path(path, type_, ACCESS[mode])
+        return check_path(path, kind, os.R_OK)
+
+    return convert
 
 
-class ReadwriteableFile:
-    def __init__(self):
-        self.read_type = AccessiblePath("f", "r")
-        self.write_type = AccessiblePath("f", "w")
+def _writeable(kind):
+    def convert(path):
+        if kind == "f" and path in (STDOUT, STDERR):
+            return path
+        return check_writeable(path, kind)
 
-    def __call__(self, string):
-        path = string
-        if os.path.exists(path):
-            path = self.read_type(path)
-        path = self.write_type(path)
-        return path
+    return convert
 
 
 def existing_path(path):
@@ -419,9 +434,15 @@ def existing_path(path):
     return resolve_path(path)
 
 
-readable_file = CompositeType(existing_path, AccessiblePath("f", "r"))
-writeable_file = AccessiblePath("f", "w")
-readwriteable_file = ReadwriteableFile()
+readable_file = chain(existing_path, _readable("f"))
+writeable_file = _writeable("f")
+
+
+def readwriteable_file(path):
+    """A file that will be read if present and (re)written either way."""
+    if os.path.exists(path):
+        path = _readable("f")(path)
+    return _writeable("f")(path)
 
 
 def readable_url(url):
@@ -451,23 +472,9 @@ def int_or_str(arg):
     raise ValueError("Unsupported type {}".format(arg))
 
 
-def positive(type_=int, inclusive=False):
-    oper = operator.ge if inclusive else operator.gt
-    return CompositeType(type_, ComparisonValidator(0, oper))
-
-
-def between(min_val=None, max_val=None, type_=int):
-    return CompositeType(
-        type_,
-        ComparisonValidator(min_val, operator.ge),
-        ComparisonValidator(max_val, operator.le),
-    )
-
-
-probability = between(0, 1, float)
-
-
 def configure_threads(options, parser):
+    """Resolve ``--threads``: 0/negative means all cores; 1 is an error
+    (use the serial pipeline instead); debug mode is single-process only."""
     if options.debug:
         parser.error("Cannot use debug mode with multiple threads")
     threads = options.threads

@@ -9,6 +9,9 @@ segment-sum, and vectorized on host via numpy. Sequences containing
 bytes outside ACGTN (or k-mers too long to pack, k > 27) fall back to
 string slicing so observable behavior never changes.
 """
+import functools
+import os
+
 import numpy as np
 
 _CODES = np.full(256, 4, np.int64)
@@ -19,6 +22,65 @@ _VALID = frozenset(_ALPHABET)
 
 #: largest k such that 5**k fits in int64
 MAX_PACKED_K = 27
+
+#: largest k such that 5**k fits in int32 (device sorts run in int32:
+#: TPU programs default to 32-bit integers)
+MAX_DEVICE_K = 13
+
+#: telemetry: k-mer count batches whose sort ran on device
+DEVICE_KMER_COUNTS = {"batches": 0}
+
+_DEVICE_MIN_CODES = 1 << 14
+_SENTINEL32 = np.int32(2 ** 31 - 1)
+
+
+def _device_kmers_enabled():
+    value = os.environ.get("ATROPOS_TPU_DEVICE_KMERS")
+    if value is not None:
+        return value not in ("0", "false", "no")
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _device_sort_fn(size):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda codes: jnp.sort(codes))
+
+
+def _unique_counts(flat):
+    """(codes, counts) over a flat packed-code array.
+
+    The dominant cost is the sort; when the codes fit int32 (k <=
+    MAX_DEVICE_K) and the array is large, it runs on device — the
+    counting itself is a linear boundary scan over the sorted array.
+    """
+    if (
+        flat.size >= _DEVICE_MIN_CODES
+        and flat.size
+        and flat.max() < 2 ** 31 - 1
+        and _device_kmers_enabled()
+    ):
+        import jax.numpy as jnp
+
+        size = 1 << (flat.size - 1).bit_length()
+        padded = np.full(size, _SENTINEL32, np.int32)
+        padded[: flat.size] = flat.astype(np.int32)
+        sorted_codes = np.asarray(_device_sort_fn(size)(jnp.asarray(padded)))
+        DEVICE_KMER_COUNTS["batches"] += 1
+        sorted_codes = sorted_codes[: flat.size].astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], sorted_codes[1:] != sorted_codes[:-1]))
+        )
+        counts = np.diff(np.append(starts, sorted_codes.shape[0]))
+        return sorted_codes[starts], counts
+    return np.unique(flat, return_counts=True)
 
 
 def packable(seq, k):
@@ -77,7 +139,7 @@ def count_corpus(seqs, k, with_membership=False):
     table = {}
     if packed_codes:
         flat = np.concatenate(packed_codes)
-        codes, counts = np.unique(flat, return_counts=True)
+        codes, counts = _unique_counts(flat)
         if with_membership:
             owners = np.concatenate(packed_owner)
             # unique (code, owner) pairs -> membership lists per code

@@ -10,6 +10,8 @@ merging a tensor add (the host image of the device ``psum``; see
 Summaries render to the exact dict schema of the reference so reports are
 unchanged.
 """
+import functools
+import os
 import re
 
 import numpy as np
@@ -26,6 +28,97 @@ DEFAULT_TILE_KEY_REGEXP = r"^(?:[^\:]+\:){4}([^\:]+)"
 """Tile id extractor for the standard Illumina read-name format."""
 
 _ASCII = 256
+
+#: telemetry: batches whose position-count accumulation ran on device
+#: (tests assert the device path executed rather than silently degrading)
+DEVICE_STATS_COUNTS = {"batches": 0}
+
+#: batches below this size stay on the host (upload cost dominates)
+_DEVICE_MIN_BATCH = 256
+
+
+def _device_stats_enabled():
+    """Device-side stat accumulation: forced by ATROPOS_TPU_DEVICE_STATS,
+    defaulting to on for accelerator backends (host numpy wins on CPU)."""
+    value = os.environ.get("ATROPOS_TPU_DEVICE_STATS")
+    if value is not None:
+        return value not in ("0", "false", "no")
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover - jax always importable here
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _device_count_fn(width, sharded):
+    """Jitted per-position byte-count kernel.
+
+    This is the SURVEY §7.7 design made MXU-shaped: the byte splits into
+    two 4-bit nibbles, each one-hot encoded as int8, and the [W, 256]
+    count matrix is the batched outer product
+    ``counts[w, hi, lo] = sum_b Hi[b, w, hi] * Lo[b, w, lo]`` — W tiny
+    int8 matmuls on the systolic array instead of a host scatter-add.
+    Padding is masked through the Lo factor. When a device mesh is active
+    the batch axis is sharded and the counts psum-reduce across it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def counts_fn(seqs, lengths):
+        idx = jnp.arange(width, dtype=jnp.int32)[None, :]
+        valid = idx < lengths[:, None]
+        nib = jnp.arange(16, dtype=jnp.uint8)
+        hi = (jnp.right_shift(seqs, 4)[:, :, None] == nib).astype(jnp.int8)
+        lo = (
+            ((seqs & 15)[:, :, None] == nib) & valid[:, :, None]
+        ).astype(jnp.int8)
+        counts = jnp.einsum(
+            "bwh,bwl->whl", hi, lo, preferred_element_type=jnp.int32
+        )
+        if sharded:
+            from atropos_tpu.parallel import READS_AXIS
+
+            counts = jax.lax.psum(counts, READS_AXIS)
+        return counts
+
+    if sharded:
+        from jax.sharding import PartitionSpec as P
+
+        from atropos_tpu.parallel import (
+            READS_AXIS,
+            _shard_map,
+            data_parallel_mesh,
+        )
+
+        counts_fn = _shard_map(
+            counts_fn,
+            data_parallel_mesh(),
+            in_specs=(P(READS_AXIS, None), P(READS_AXIS)),
+            out_specs=P(None, None, None),
+        )
+    return jax.jit(counts_fn)
+
+
+def _device_position_counts(matrix, lengths):
+    """[W, 256] per-position byte counts computed on device (psum-reduced
+    over the local mesh when one is active)."""
+    import jax.numpy as jnp
+
+    from atropos_tpu.parallel import data_parallel_mesh
+
+    mesh = data_parallel_mesh()
+    ndev = mesh.devices.size if mesh is not None else 1
+    batch, width = matrix.shape
+    pad = -batch % max(ndev, 1)
+    if pad:
+        matrix = np.pad(matrix, ((0, pad), (0, 0)))
+        lengths = np.pad(lengths, (0, pad))
+    fn = _device_count_fn(width, ndev > 1)
+    counts = np.asarray(fn(jnp.asarray(matrix), jnp.asarray(lengths)))
+    DEVICE_STATS_COUNTS["batches"] += 1
+    return counts.reshape(width, 256).astype(np.int64)
 
 
 def _grow_rows(matrix, rows):
@@ -115,9 +208,17 @@ class PositionByteCounts(Mergeable, Summarizable):
         self.counts[np.arange(n), data] += 1
 
     def add_batch(self, matrix, lengths):
-        """Scatter-add a padded ``[B, L]`` byte matrix, masking padding."""
+        """Accumulate a padded ``[B, L]`` byte matrix, masking padding.
+
+        Large batches on accelerator backends count on device (MXU
+        nibble outer products, psum-reduced over the mesh — see
+        :func:`_device_count_fn`); small batches and CPU backends use a
+        host bincount."""
         width = matrix.shape[1]
         self.counts = _grow_rows(self.counts, width)
+        if matrix.shape[0] >= _DEVICE_MIN_BATCH and _device_stats_enabled():
+            self.counts[:width] += _device_position_counts(matrix, lengths)
+            return
         valid = np.arange(width)[None, :] < lengths[:, None]
         pos = np.broadcast_to(np.arange(width)[None, :], matrix.shape)
         flat = pos[valid] * _ASCII + matrix[valid]

@@ -235,3 +235,35 @@ def test_qc_parallel_matches_serial(tmp_path):
             return [line for line in fh if not skip.search(line)]
 
     assert stable(out_s) == stable(out_p)
+
+
+def test_device_kmer_counts_match_host(monkeypatch):
+    """The device-sorted k-mer counting must agree exactly with the host
+    np.unique path, and the telemetry must prove the device sort ran."""
+    import random
+
+    from atropos_tpu.commands.detect import kmers
+
+    rng = random.Random(31337)
+    seqs = [
+        "".join(rng.choice("ACGTN") for _ in range(70)) for _ in range(400)
+    ]
+    k = 12  # > _DEVICE_MIN_CODES windows total, codes fit int32
+
+    monkeypatch.setenv("ATROPOS_TPU_DEVICE_KMERS", "0")
+    host = kmers.count_corpus(seqs, k)
+
+    monkeypatch.setenv("ATROPOS_TPU_DEVICE_KMERS", "1")
+    before = kmers.DEVICE_KMER_COUNTS["batches"]
+    device = kmers.count_corpus(seqs, k)
+    assert kmers.DEVICE_KMER_COUNTS["batches"] > before, (
+        "device k-mer counting forced but the device sort never ran"
+    )
+    assert host == device
+
+    # membership variant rides the same sorted-count core
+    monkeypatch.setenv("ATROPOS_TPU_DEVICE_KMERS", "0")
+    host_m = kmers.count_corpus(seqs, k, with_membership=True)
+    monkeypatch.setenv("ATROPOS_TPU_DEVICE_KMERS", "1")
+    device_m = kmers.count_corpus(seqs, k, with_membership=True)
+    assert host_m == device_m

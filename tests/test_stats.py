@@ -92,3 +92,45 @@ def test_stats_merge_associative():
         return data
 
     assert collapse(merged_summary) == collapse(whole_summary)
+
+
+def test_device_position_counts_matches_host(monkeypatch):
+    """The MXU nibble-outer-product count kernel must agree exactly with
+    the host bincount, with the batch sharded over the device mesh and
+    the counts psum-reduced across it."""
+    import os
+    import random
+
+    from atropos_tpu import parallel
+    from atropos_tpu.commands import stats as stats_mod
+
+    monkeypatch.setenv("ATROPOS_TPU_DEVICE_STATS", "1")
+    monkeypatch.setenv("ATROPOS_TPU_SHARD", "1")
+    parallel.reset_data_parallel_mesh()
+    try:
+        rng = random.Random(99)
+        import numpy as np
+
+        batch, width = 600, 37
+        matrix = np.zeros((batch, width), np.uint8)
+        lengths = np.zeros(batch, np.int32)
+        for row in range(batch):
+            n = rng.randrange(0, width + 1)
+            lengths[row] = n
+            for col in range(n):
+                matrix[row, col] = rng.choice(b"ACGTNacgtn+#!")
+
+        host = stats_mod.PositionByteCounts()
+        monkeypatch.setenv("ATROPOS_TPU_DEVICE_STATS", "0")
+        host.add_batch(matrix, lengths)
+
+        device = stats_mod.PositionByteCounts()
+        monkeypatch.setenv("ATROPOS_TPU_DEVICE_STATS", "1")
+        before = stats_mod.DEVICE_STATS_COUNTS["batches"]
+        device.add_batch(matrix, lengths)
+        assert stats_mod.DEVICE_STATS_COUNTS["batches"] > before, (
+            "device stats forced but the device path never ran"
+        )
+        assert np.array_equal(host.counts, device.counts)
+    finally:
+        parallel.reset_data_parallel_mesh()
