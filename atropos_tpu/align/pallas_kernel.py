@@ -124,12 +124,16 @@ def _fused_layout(m, k, L):
     The relaxation blocker adds 1<<30, so the real-value range must stay
     below 2**30 - that is, C+S+O+T <= 29 (int16 vector compares are
     unsupported on current TPU targets, so there is no narrower variant).
+    The fused kernel additionally packs (matches, cost) into one best-key
+    word as ``matches * 2048 + (1023 - cost)``, which requires cost <= 1023
+    (always true in practice: large k forces the field budget over 29 long
+    before k reaches 1023, but guard anyway).
     """
     C = _bits(3 * k + 3)
     S = _bits(2 * m + 1)
     O = _bits(L + m)
     T = _bits(m)
-    if C + S + O + T > 29:
+    if C + S + O + T > 29 or k + 1 > 1023:
         return None
     return dict(
         T=T,
@@ -141,6 +145,33 @@ def _fused_layout(m, k, L):
         SUB_FIELD=((1 << S) - 1) << (T + O),
         LOW_MASK=(1 << (T + O)) - 1,
     )
+
+
+def _fp_threshold(thresholds, shift=16):
+    """Fixed-point multiplier NUM such that, for every length in range,
+
+        cost <= thresholds[length]  <=>  (cost << shift) <= length * NUM
+
+    or None when no single multiplier reproduces the table exactly.
+    Replaces the k-step boundary lookup (2k vector ops) with one multiply
+    and one compare in the per-column hot loop. The equivalence holds iff
+    ``floor(length * NUM >> shift) == thresholds[length]`` for all
+    lengths, which pins NUM to an (often nonempty) integer interval.
+    """
+    lo, hi = 0, None
+    for length in range(1, len(thresholds)):
+        t = int(thresholds[length])
+        lo = max(lo, -((-t << shift) // length))  # ceil(t * 2^s / length)
+        top = (((t + 1) << shift) - 1) // length
+        hi = top if hi is None else min(hi, top)
+    if hi is None:
+        return None
+    if lo > hi:
+        return None
+    m = len(thresholds) - 1
+    if m * lo >= (1 << 31):
+        return None
+    return lo
 
 
 def _dp_kernel_fused(
@@ -224,13 +255,19 @@ def _dp_kernel_fused(
     state0 = jnp.minimum(cost0, CLAMP) * COST_UNIT + (origin0 + m) * ORG_UNIT
 
     last0 = jnp.full((1, B), m if start_in_ref else min(m, k + 1), jnp.int32)
-    done0 = jnp.zeros((1, B), jnp.int32)
+    # Best-candidate state: one packed key word ``matches * 2048 +
+    # (1023 - cost)`` (strictly monotone in the reference's max-matches /
+    # min-cost order; cost <= k+1 <= 1023 by _fused_layout), plus the
+    # query_stop / origin payload. key = -1 means "no candidate yet", and
+    # a column-loop candidate always has ref_stop == m, so ref_stop needs
+    # no per-column word at all. An exact match (cost 0, matches == m)
+    # yields the maximum possible key, which no later candidate can beat
+    # under the strict > comparison — this reproduces the scalar early
+    # exit without a separate `done` freeze.
     best0 = (
-        jnp.full((1, B), m, jnp.int32),     # ref_stop
+        jnp.full((1, B), -1, jnp.int32),     # packed (matches, cost) key
         n,                                   # query_stop
-        m + n,                               # cost
         jnp.zeros((1, B), jnp.int32),        # origin
-        jnp.zeros((1, B), jnp.int32),        # matches
     )
 
     # adapter chars built in-kernel from static ints via iota-select
@@ -243,13 +280,18 @@ def _dp_kernel_fused(
     boundaries = [
         idx for idx in range(1, M1) if t_arrv[idx] > t_arrv[idx - 1]
     ]
+    fp_num = _fp_threshold(t_arrv)
 
-    def thresh_of(length):
+    def cost_ok(cost, length):
+        """cost <= thresholds[length], via the fixed-point form when one
+        exists (1 mul + 1 compare) else the k-step boundary lookup."""
+        if fp_num is not None:
+            return (cost << 16) <= length * fp_num
         out = jnp.full(length.shape, int(t_arrv[0]), jnp.int32)
         for b_idx in boundaries:
             step = int(t_arrv[b_idx] - t_arrv[b_idx - 1])
             out = out + (length >= b_idx).astype(jnp.int32) * step
-        return out
+        return cost <= out
 
     d_max = 0 if ins_cost > k else min(M1 - 1, k // ins_cost)
     SHIFT = min(ins_cost, CLAMP) * COST_UNIT
@@ -261,10 +303,10 @@ def _dp_kernel_fused(
     del_const = del_unit * COST_UNIT + (m + pos_i) * SUB_UNIT
 
     def column(j, carry):
-        state, last, best, done = carry
-        b_ref_stop, b_query_stop, b_cost, b_origin, b_matches = best
+        state, last, best = carry
+        b_key, b_query_stop, b_origin = best
         qc = reads_ref[pl.ds(j - 1, 1), :]  # [1, B]
-        active = (j > min_n) & (j <= max_n) & (done == 0)
+        active = (j > min_n) & (j <= max_n)
 
         # row 0 (reference ``_align.pyx:385-388``); stored sub bits are
         # zero, so adding m*SUB_UNIT sets the sub-key exactly
@@ -319,50 +361,45 @@ def _dp_kernel_fused(
             cost_m = jnp.right_shift(state_m, COST_SHIFT)
             org_m = (jnp.right_shift(state_m, ORG_SHIFT) & O_MASK) - m
             mat_m = state_m & T_MASK
-            length_m = jnp.clip(m + jnp.minimum(org_m, 0), 0, m)
-            thresh_m = thresh_of(length_m)
+            # origin + m is non-negative by construction, so the length
+            # m + min(origin, 0) is already in [0, m]: no clip needed
+            length_m = m + jnp.minimum(org_m, 0)
+            key_m = mat_m * 2048 + (1023 - cost_m)
             ok = (
                 at_bottom
                 & (length_m >= min_overlap)
-                & (cost_m <= thresh_m)
-                & ((mat_m > b_matches) | ((mat_m == b_matches) & (cost_m < b_cost)))
+                & cost_ok(cost_m, length_m)
+                & (key_m > b_key)
             )
-            b_ref_stop = jnp.where(ok, m, b_ref_stop)
+            b_key = jnp.where(ok, key_m, b_key)
             b_query_stop = jnp.where(ok, j, b_query_stop)
-            b_cost = jnp.where(ok, cost_m, b_cost)
             b_origin = jnp.where(ok, org_m, b_origin)
-            b_matches = jnp.where(ok, mat_m, b_matches)
-            done = jnp.where(
-                ok & (cost_m == 0) & (mat_m == m), jnp.int32(1), done
-            )
 
         last = jnp.where(active, new_last, last)
-        best = (b_ref_stop, b_query_stop, b_cost, b_origin, b_matches)
-        return (state, last, best, done)
+        best = (b_key, b_query_stop, b_origin)
+        return (state, last, best)
 
-    state, last, best, done = lax.fori_loop(
-        1, L + 1, column, (state0, last0, best0, done0), unroll=UNROLL
+    state, last, best = lax.fori_loop(
+        1, L + 1, column, (state0, last0, best0), unroll=UNROLL
     )
     cost_c = jnp.right_shift(state, COST_SHIFT)
     org_c = (jnp.right_shift(state, ORG_SHIFT) & O_MASK) - m
     mat_c = state & T_MASK
-    b_ref_stop, b_query_stop, b_cost, b_origin, b_matches = best
+    b_key, b_query_stop, b_origin = best
 
     # final-column scan (reference ``_align.pyx:461-474``)
     first_i = 0 if stop_in_ref else m
     lengths_i = rows + jnp.minimum(org_c, 0)
     lt = jnp.clip(lengths_i, 0, m)
-    thresh_cells = thresh_of(lt)
 
     valid = (
         (rows >= first_i)
         & (lengths_i >= min_overlap)
-        & (cost_c <= thresh_cells)
+        & cost_ok(cost_c, lt)
         & (jnp.broadcast_to(max_n == n, (M1, B)))
     )
-    cost_clamped = jnp.minimum(cost_c, 1023)
-    key = mat_c * 2048 + (1023 - cost_clamped)
-    key = key * (m + 2) + (m + 1 - rows)
+    keyc = mat_c * 2048 + (1023 - cost_c)  # cost_c <= k+1 <= 1023
+    key = keyc * (m + 2) + (m + 1 - rows)
     key = jnp.where(valid, key, NEG_LARGE)
     best_key = jnp.max(key, axis=0, keepdims=True)
     any_valid = best_key > NEG_LARGE
@@ -372,19 +409,20 @@ def _dp_kernel_fused(
     take = lambda arr: jnp.max(
         jnp.where(pick, arr, NEG_LARGE), axis=0, keepdims=True
     )
-    cand_cost = take(cost_c)
-    cand_mat = take(mat_c)
+    cand_key = take(keyc)
     cand_org = take(org_c)
-    better = any_valid & (
-        (cand_mat > b_matches) | ((cand_mat == b_matches) & (cand_cost < b_cost))
-    )
-    b_ref_stop = jnp.where(better, best_idx, b_ref_stop)
+    # ties keep the column-loop candidate (an earlier query_stop), exactly
+    # the reference's preference order
+    better = any_valid & (cand_key > b_key)
+    b_key = jnp.where(better, cand_key, b_key)
+    b_ref_stop = jnp.where(better, best_idx, jnp.int32(m))
     b_query_stop = jnp.where(better, n, b_query_stop)
-    b_cost = jnp.where(better, cand_cost, b_cost)
     b_origin = jnp.where(better, cand_org, b_origin)
-    b_matches = jnp.where(better, cand_mat, b_matches)
 
-    found = (b_cost != (m + n)).astype(jnp.int32)
+    found_mask = b_key >= 0
+    b_matches = jnp.where(found_mask, jnp.right_shift(b_key, 11), 0)
+    b_cost = jnp.where(found_mask, 1023 - (b_key & 2047), m + n)
+    found = found_mask.astype(jnp.int32)
     start1 = jnp.where(b_origin >= 0, 0, -b_origin)
     start2 = jnp.where(b_origin >= 0, b_origin, 0)
 
