@@ -148,9 +148,15 @@ class CommandRunner(BaseCommandRunner):
     def _run_single_process(self, record_handler, writers, engine, distributed):
         mode_suffix = "distributed" if distributed else None
         if engine is not None or self._engine_requested():
-            from atropos_tpu.engine.turbo import TurboTrimRunner
+            from atropos_tpu.engine.turbo import (
+                TurboPairedRunner,
+                TurboTrimRunner,
+            )
 
-            turbo = TurboTrimRunner.build(self, record_handler, writers)
+            runner_class = (
+                TurboPairedRunner if self.options.paired else TurboTrimRunner
+            )
+            turbo = runner_class.build(self, record_handler, writers)
             if turbo is not None:
                 self.summary.update(mode=mode_suffix or "turbo", threads=1)
                 return turbo.run()

@@ -1,13 +1,27 @@
 """Turbo trim path: zero-Python-object, latency-hiding streaming trim.
 
-For the common single-end configurations (fixed cuts + quality/NextSeq
-trimming + 3'/5' adapter trimming + length/N filters, action=trim) the
-entire per-read pipeline is expressible as *interval arithmetic*: each
-stage only narrows a per-read keep-window [start, stop). This driver
-streams the input file in chunks through the native C parser
-(:mod:`atropos_tpu.runtime`), runs the batched device kernels over padded
-matrices, resolves the final windows, and assembles output bytes with the
-native formatter — no per-read Python objects anywhere.
+For the common single-end AND paired-end adapter-align configurations
+(fixed cuts + quality/NextSeq trimming + 3'/5' adapter trimming +
+length/N filters, action=trim) the entire per-read pipeline is
+expressible as *interval arithmetic*: each stage only narrows a per-read
+keep-window [start, stop). The drivers stream the input file(s) in
+chunks through the native C parser (:mod:`atropos_tpu.runtime`), run the
+batched device kernels over padded matrices, resolve the final windows,
+and assemble output bytes with the native formatter — no per-read Python
+objects anywhere.
+
+Layout:
+
+- :class:`_MateLane` — one mate's stage configuration and device work
+  (submit a batch, resolve its keep-windows + adapter statistics).
+- :class:`TurboTrimRunner` — the single-end driver: one lane, filters,
+  one output stream.
+- :class:`TurboPairedRunner` — the paired-end driver: two lanes fed by
+  two synchronized chunk streams, vectorized pair filters
+  (``any``/``both`` semantics of the reference's PairedWrapper,
+  ``atropos/commands/trim/filters.py:66-90``), two output streams.
+  Covers the ``adapter`` aligner (independent per-mate matching);
+  insert-align runs through the batched engine instead.
 
 The device interaction is fully pipelined (``DEPTH`` batches in flight):
 
@@ -40,6 +54,7 @@ from atropos_tpu.adapters import ANYWHERE, BACK, FRONT, PREFIX, SUFFIX, Adapter,
 from atropos_tpu.commands.trim.filters import (
     NContentFilter,
     NoFilter,
+    PairedWrapper,
     TooLongReadFilter,
     TooShortReadFilter,
     TrimmedFilter,
@@ -49,6 +64,7 @@ from atropos_tpu.commands.trim.modifiers import (
     AdapterCutter,
     NextseqQualityTrimmer,
     QualityTrimmer,
+    ReadPairModifier,
     UnconditionalCutter,
 )
 from atropos_tpu import runtime
@@ -88,163 +104,99 @@ class _Inflight:
             setattr(self, key, val)
 
 
-class TurboTrimRunner:
-    """Streaming interval-based trim for eligible configurations."""
+def _open_input(path):
+    """Binary chunk stream over the input: plain file, or streaming
+    decompression for gz/bz2/xz (system gzip subprocess when available,
+    so decompression overlaps compute in its own process)."""
+    from atropos_tpu.io.compression import get_file_opener
 
-    CHUNK_BYTES = 64 * 1024 * 1024
-    MAX_BATCH = _env_int("ATROPOS_TPU_TURBO_BATCH", 16384)
-    DEPTH = _env_int("ATROPOS_TPU_TURBO_DEPTH", 3)
+    opener = get_file_opener(path)
+    if opener is not None:
+        return opener(path, "rb")
+    return open(path, "rb")
 
-    @classmethod
-    def build(cls, command_runner, record_handler, writers):
-        """Return a runner if the configuration is turbo-eligible."""
-        from atropos_tpu.commands.trim import RecordHandler
 
-        options = command_runner.options
-        if not runtime.available():
-            return cls._decline("native runtime unavailable")
-        if options.paired or options.colorspace:
-            return cls._decline("paired or colorspace input")
-        if not isinstance(record_handler, RecordHandler):
-            return cls._decline("non-default record handler")
-        if options.action != "trim" or options.times != 1:
-            return cls._decline("action!=trim or times>1")
-        # single-file FASTQ input/output (optionally gz/bz2/xz compressed:
-        # input streams through the codec, output goes through the same
-        # xopen writer the scalar pipeline uses, so bytes stay identical)
-        from atropos_tpu.io.compression import splitext_compressed
+class _ChunkStream:
+    """Incremental native-parsed FASTQ chunk iterator over one file.
 
-        input1 = options.input1
-        if not input1 or not isinstance(input1, str):
-            return cls._decline("non-path input")
-        if options.input2 or options.interleaved_input:
-            return cls._decline("paired input")
-        if splitext_compressed(input1)[1] not in (".fastq", ".fq"):
-            return cls._decline("non-FASTQ input")
-        output = options.output
-        if not output or output == "-" or "{name}" in (output or ""):
-            return cls._decline("stdout or demultiplexed output")
-        if splitext_compressed(output)[1] not in (".fastq", ".fq"):
-            return cls._decline("non-FASTQ output")
-        if (
-            options.info_file
-            or options.rest_file
-            or options.wildcard_file
-            or options.untrimmed_output
-            or options.too_short_output
-            or options.too_long_output
-            or options.merged_output
-            or options.stats
-        ):
-            return cls._decline("side-channel outputs or --stats")
+    Replicates the scalar reader's edge handling: tolerates a missing
+    final newline, raises on trailing garbage that parses to no records,
+    and carries partial records across chunk boundaries.
+    """
 
-        modifiers = record_handler.modifiers
-        cut_front = cut_back = 0
-        quality = None
-        nextseq = None
-        cutter = None
-        for entry in modifiers.modifiers:
-            mod = entry[0] if isinstance(entry, list) else entry
-            if isinstance(mod, UnconditionalCutter):
-                cut_front, cut_back = mod.front_length, mod.back_length
-            elif isinstance(mod, QualityTrimmer):
-                quality = mod
-            elif isinstance(mod, NextseqQualityTrimmer):
-                nextseq = mod
-            elif isinstance(mod, AdapterCutter):
-                cutter = mod
-            else:
-                return cls._decline(
-                    "unsupported modifier %s" % type(mod).__name__
-                )
-        # stage order must be the default C -> G -> Q -> A
-        order = [
-            type(entry[0] if isinstance(entry, list) else entry)
-            for entry in modifiers.modifiers
-        ]
-        expected = [
-            t
-            for t, present in (
-                (UnconditionalCutter, cut_front or cut_back),
-                (NextseqQualityTrimmer, nextseq),
-                (QualityTrimmer, quality),
-                (AdapterCutter, cutter),
-            )
-            if present
-        ]
-        if order != expected:
-            return cls._decline("non-default op order")
+    def __init__(self, path, chunk_bytes):
+        self._fh = _open_input(path)
+        self._carry = b""
+        self._eof = False
+        self._chunk_bytes = chunk_bytes
 
-        adapters = cutter.adapters if cutter else []
-        for adapter in adapters:
-            if not isinstance(adapter, Adapter) or isinstance(
-                adapter, ColorspaceAdapter
-            ):
-                return cls._decline("non-plain adapter")
-            if not adapter.indels and adapter.where in (PREFIX, SUFFIX):
-                # no-indel anchored compare: host path (rare)
-                return cls._decline("anchored no-indel adapter")
-        filters = record_handler.filters
-        for ftype in filters.filters:
-            if ftype not in (
-                TooShortReadFilter,
-                TooLongReadFilter,
-                NContentFilter,
-                TrimmedFilter,
-                UntrimmedFilter,
-            ):
-                return cls._decline(
-                    "unsupported filter %s" % ftype.__name__
-                )
+    def next_chunk(self):
+        """The next parsed chunk with >= 1 record, or None at end."""
+        while True:
+            if self._eof and not self._carry:
+                return None
+            data = b"" if self._eof else self._fh.read(self._chunk_bytes)
+            if not data:
+                self._eof = True
+            buf = self._carry + data
+            if not buf:
+                return None
+            if self._eof and not buf.endswith(b"\n"):
+                # tolerate a missing final newline (the scalar reader does)
+                buf += b"\n"
+            chunk = runtime.parse_chunk(buf)
+            if chunk.n == 0 and self._eof:
+                self._carry = b""
+                if buf.strip():
+                    raise RuntimeError("trailing garbage in FASTQ input")
+                return None
+            self._carry = buf[chunk.consumed :] if not self._eof else b""
+            if chunk.n:
+                return chunk
 
-        return cls(
-            command_runner,
-            record_handler,
-            writers,
-            cut_front=cut_front,
-            cut_back=cut_back,
-            quality=quality,
-            nextseq=nextseq,
-            cutter=cutter,
-        )
+    def close(self):
+        self._fh.close()
 
-    @staticmethod
-    def _decline(reason):
-        logging.getLogger().info("turbo path declined: %s", reason)
-        return None
 
-    def __init__(
-        self,
-        command_runner,
-        record_handler,
-        writers,
-        *,
-        cut_front,
-        cut_back,
-        quality,
-        nextseq,
-        cutter,
-    ):
-        self.command_runner = command_runner
-        self.options = command_runner.options
-        self.record_handler = record_handler
-        self.writers = writers
+class _MateLane:
+    """One mate's stage configuration and device work.
+
+    ``submit`` turns a (chunk, sub) record range into an in-flight device
+    batch; ``resolve_windows`` fetches the bundle and produces the final
+    per-read keep-windows plus matched flags, accumulating every modifier
+    statistic exactly as the scalar pipeline would.
+    """
+
+    def __init__(self, *, cut_front, cut_back, quality, nextseq, cutter,
+                 cutter_mod):
         self.cut_front = cut_front
         self.cut_back = cut_back
         self.quality = quality
         self.nextseq = nextseq
         self.cutter = cutter
+        self.cutter_mod = cutter_mod
         self.adapters = cutter.adapters if cutter else []
-        from atropos_tpu.engine import make_batch_aligner
+        from atropos_tpu.engine import _PrefixSuffixMatcher, make_batch_aligner
 
-        self._aligners = [
-            make_batch_aligner(adapter) for adapter in self.adapters
-        ]
+        # anchored no-indel adapters match via the vectorized host
+        # comparator (compare_prefixes semantics — O(B*m) byte ops, not
+        # worth a device round trip); everything else gets a DP kernel.
+        # self._aligners holds only the device aligners, in adapter
+        # order; self._matchers maps adapter index -> host matcher.
+        self._aligners = []
+        self._matchers = {}
+        for idx, adapter in enumerate(self.adapters):
+            if not adapter.indels and adapter.where in (PREFIX, SUFFIX):
+                self._matchers[idx] = _PrefixSuffixMatcher(adapter)
+            else:
+                self._aligners.append(make_batch_aligner(adapter))
         # host-side wildcard translation tables (None = raw ASCII compare)
         from atropos_tpu.align.batched import _translation_lut
 
         self._luts = []
-        for adapter in self.adapters:
+        for idx, adapter in enumerate(self.adapters):
+            if idx in self._matchers:
+                continue
             if adapter.adapter_wildcards or adapter.read_wildcards:
                 self._luts.append(
                     _translation_lut(
@@ -263,7 +215,59 @@ class TurboTrimRunner:
             adapter.max_rmp is not None for adapter in self.adapters
         )
 
-    # -- device step builders -------------------------------------------------
+    @classmethod
+    def from_modifier_list(cls, mods):
+        """Build a lane from one mate's ordered modifier list, or a
+        decline-reason string when a stage is unsupported or out of the
+        default C -> G -> Q -> A order."""
+        cut_front = cut_back = 0
+        quality = None
+        nextseq = None
+        cutter = None
+        cutter_mod = None
+        for mod in mods:
+            if isinstance(mod, UnconditionalCutter):
+                cut_front, cut_back = mod.front_length, mod.back_length
+                cutter_mod = mod
+            elif isinstance(mod, QualityTrimmer):
+                quality = mod
+            elif isinstance(mod, NextseqQualityTrimmer):
+                nextseq = mod
+            elif isinstance(mod, AdapterCutter):
+                cutter = mod
+            else:
+                return "unsupported modifier %s" % type(mod).__name__
+        order = [type(mod) for mod in mods]
+        # presence is keyed on the modifier INSTANCE: a zero-length
+        # UnconditionalCutter (e.g. the read2 slot when only -u was given)
+        # is a legitimate no-op stage, not an order violation
+        expected = [
+            t
+            for t, present in (
+                (UnconditionalCutter, cutter_mod),
+                (NextseqQualityTrimmer, nextseq),
+                (QualityTrimmer, quality),
+                (AdapterCutter, cutter),
+            )
+            if present is not None
+        ]
+        if order != expected:
+            return "non-default op order"
+        for adapter in (cutter.adapters if cutter else []):
+            if not isinstance(adapter, Adapter) or isinstance(
+                adapter, ColorspaceAdapter
+            ):
+                return "non-plain adapter"
+        return cls(
+            cut_front=cut_front,
+            cut_back=cut_back,
+            quality=quality,
+            nextseq=nextseq,
+            cutter=cutter,
+            cutter_mod=cutter_mod,
+        )
+
+    # -- device step builder --------------------------------------------------
 
     def _get_astep(self, width, pad_b, n_extra):
         """Jitted device graph for one batch shape: quality/NextSeq kernels
@@ -386,81 +390,6 @@ class TurboTrimRunner:
         self._asteps[key] = jax.jit(step)
         return self._asteps[key]
 
-    # -- main loop ------------------------------------------------------------
-
-    def run(self):
-        options = self.options
-        logging.getLogger().info("Running turbo device trim pipeline")
-        out = self._open_output(options.output)
-
-        total_records = 0
-        total_bp = 0
-        inflight = collections.deque()
-        # multi-host sharding: chunk boundaries are deterministic (same
-        # file, same chunking), so round-robin chunk ownership partitions
-        # the records exactly once across hosts
-        shard_rank = getattr(self.command_runner, "shard_rank", 0)
-        shard_count = getattr(self.command_runner, "shard_count", 1)
-        chunk_index = 0
-        with self._open_input(options.input1) as infile:
-            carry = b""
-            while True:
-                data = infile.read(self.CHUNK_BYTES)
-                if not data and not carry:
-                    break
-                buf = carry + data
-                if not buf:
-                    break
-                if not data and not buf.endswith(b"\n"):
-                    # tolerate a missing final newline (the scalar reader does)
-                    buf += b"\n"
-                chunk = runtime.parse_chunk(buf)
-                if chunk.n == 0 and not data:
-                    if buf.strip():
-                        raise RuntimeError("trailing garbage in FASTQ input")
-                    break
-                carry = buf[chunk.consumed :] if data else b""
-                if chunk.n:
-                    if chunk_index % shard_count == shard_rank:
-                        total_records += chunk.n
-                        total_bp += int(chunk.seq_len.sum())
-                        for start in range(0, chunk.n, self.MAX_BATCH):
-                            sub = slice(
-                                start, min(start + self.MAX_BATCH, chunk.n)
-                            )
-                            inflight.append(self._submit(chunk, sub))
-                            while len(inflight) >= self.DEPTH:
-                                self._resolve(inflight.popleft(), out)
-                    chunk_index += 1
-                if not data:
-                    break
-        while inflight:
-            self._resolve(inflight.popleft(), out)
-
-        summary = self.command_runner.summary
-        if total_records:
-            summary.update(
-                record_counts={0: total_records},
-                total_record_count=total_records,
-                bp_counts={0: [total_bp, 0]},
-                total_bp_counts=(total_bp, 0),
-                sum_total_bp_count=total_bp,
-            )
-        else:
-            # empty input: match the scalar batcher, which never emits a
-            # batch and leaves the count structures empty
-            summary.update(
-                record_counts={},
-                total_record_count=0,
-                bp_counts={},
-                total_bp_counts=(),
-                sum_total_bp_count=0,
-            )
-        summary.update(self.record_handler.summarize())
-        out.flush()
-        self.writers.close()
-        return 0
-
     # -- submit: host prep + async device dispatch ----------------------------
 
     def _pad_batch(self, batch):
@@ -484,7 +413,7 @@ class TurboTrimRunner:
             size *= 2
         return size
 
-    def _submit(self, chunk, sub):
+    def submit(self, chunk, sub):
         import jax.numpy as jnp
 
         from atropos_tpu.align.batched import (
@@ -506,8 +435,7 @@ class TurboTrimRunner:
             keep_stop = np.where(nonempty, new_stop, keep_stop)
             # Trimmer.clip counts the REQUESTED front+back bases, even
             # when the read is shorter (reference Sequence.clip semantics)
-            cutter_mod = self._find_mod(UnconditionalCutter)
-            cutter_mod.trimmed_bases += int(
+            self.cutter_mod.trimmed_bases += int(
                 (self.cut_front - self.cut_back) * nonempty.sum()
             )
 
@@ -618,7 +546,9 @@ class TurboTrimRunner:
 
     # -- resolve: one fetch + host logic --------------------------------------
 
-    def _resolve(self, tok, out):
+    def resolve_windows(self, tok):
+        """Fetch the device bundle and produce (keep_start, keep_stop,
+        matched) for the batch, accumulating all modifier statistics."""
         arr_full = np.asarray(tok.bundle)
         arr = arr_full[:, : tok.batch]
         batch = tok.batch
@@ -647,20 +577,45 @@ class TurboTrimRunner:
 
         # A: adapter matching + trim
         matched = np.zeros(batch, bool)
-        if self._aligners:
+        if self.adapters:
             best = None
             best_idx = None
-            for adapter_idx in range(n_adapt):
-                rows = arr[7 * adapter_idx : 7 * adapter_idx + 7]
-                res = dict(
-                    found=rows[0].astype(bool),
-                    start1=rows[1],
-                    stop1=rows[2],
-                    start2=rows[3],
-                    stop2=rows[4],
-                    matches=rows[5],
-                    cost=rows[6],
-                )
+            dev_i = 0
+            upper = None
+            for adapter_idx in range(len(self.adapters)):
+                if adapter_idx in self._matchers:
+                    # anchored no-indel: vectorized host comparator, plus
+                    # the overlap/error-rate gate the DP kernel enforces
+                    # in-kernel (Adapter.match_to semantics)
+                    if upper is None:
+                        upper = _upper(tok.seqs[:batch])
+                    res = self._matchers[adapter_idx].locate_batch(
+                        upper, win_len
+                    )
+                    res = {key: np.asarray(val) for key, val in res.items()}
+                    adapter = self.adapters[adapter_idx]
+                    size = res["stop1"] - res["start1"]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        rate_ok = np.where(
+                            size > 0, res["cost"] / np.maximum(size, 1), 1.0
+                        ) <= adapter.max_error_rate
+                    res["found"] = (
+                        res["found"]
+                        & (size >= adapter.min_overlap)
+                        & rate_ok
+                    )
+                else:
+                    rows = arr[7 * dev_i : 7 * dev_i + 7]
+                    dev_i += 1
+                    res = dict(
+                        found=rows[0].astype(bool),
+                        start1=rows[1],
+                        stop1=rows[2],
+                        start2=rows[3],
+                        stop2=rows[4],
+                        matches=rows[5],
+                        cost=rows[6],
+                    )
                 res["found"] = res["found"] & (win_len > 0)
                 res = self._validate(adapter_idx, res)
                 if best is None:
@@ -699,7 +654,10 @@ class TurboTrimRunner:
             psum_matched = int(arr_full[-1, 0])
             psum_bp = int(arr_full[-1, 1])
             SHARD_COUNTS["psum_counter_checks"] += 1
-            if not self._has_max_rmp:
+            # host-side gates (max_rmp, anchored-no-indel matchers) can
+            # change `matched` after the device reduction; skip the strict
+            # equality then
+            if not self._has_max_rmp and not self._matchers:
                 host_matched = int(matched.sum())
                 host_bp = int(np.maximum(win_len, 0).sum())
                 if (psum_matched, psum_bp) != (host_matched, host_bp):
@@ -709,47 +667,36 @@ class TurboTrimRunner:
                         % (psum_matched, psum_bp, host_matched, host_bp)
                     )
 
-        # filters, in registration order (first match wins)
-        final_len = keep_stop - keep_start
-        dest_none = np.ones(batch, bool)
-        filters = self.record_handler.filters
-        for ftype, wrapper in filters.filters.items():
-            if ftype is TooShortReadFilter:
-                hit = dest_none & (final_len < wrapper.filter.minimum_length)
-            elif ftype is TooLongReadFilter:
-                hit = dest_none & (final_len > wrapper.filter.maximum_length)
-            elif ftype is NContentFilter:
-                ncount = self._count_n(
-                    tok.chunk, tok.sub, keep_start, keep_stop, tok.width
-                )
-                fil = wrapper.filter
-                if fil.is_proportion:
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        frac = np.where(final_len > 0, ncount / final_len, 0)
-                    hit = dest_none & (frac > fil.cutoff)
-                else:
-                    hit = dest_none & (ncount > fil.cutoff)
-            elif ftype is TrimmedFilter:
-                hit = dest_none & matched
-            elif ftype is UntrimmedFilter:
-                hit = dest_none & ~matched
-            else:  # pragma: no cover - excluded at build time
-                raise AssertionError(ftype)
-            wrapper.filtered += int(hit.sum())
-            dest_none &= ~hit
+        return keep_start, keep_stop, matched
 
-        keep = dest_none
-        formatter = self.record_handler.formatters.seq_formatters.get(NoFilter)
-        self.record_handler.formatters.discarded += int((~keep).sum())
-        if formatter is not None:
-            formatter.written += int(keep.sum())
-            formatter.read1_bp += int(final_len[keep].sum())
-            data = self._format(tok.chunk, tok.sub, keep_start, keep_stop, keep)
-            out.write(data)
+    def criterion_hits(self, ftype, wrapper, tok, keep_start, keep_stop,
+                       matched):
+        """Vectorized single-read criterion over the batch (the pair/SE
+        wrapping happens in the drivers)."""
+        final_len = keep_stop - keep_start
+        if ftype is TooShortReadFilter:
+            return final_len < wrapper.filter.minimum_length
+        if ftype is TooLongReadFilter:
+            return final_len > wrapper.filter.maximum_length
+        if ftype is NContentFilter:
+            ncount = self._count_n(
+                tok.chunk, tok.sub, keep_start, keep_stop, tok.width
+            )
+            fil = wrapper.filter
+            if fil.is_proportion:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    frac = np.where(final_len > 0, ncount / final_len, 0)
+                return frac > fil.cutoff
+            return ncount > fil.cutoff
+        if ftype is TrimmedFilter:
+            return matched
+        if ftype is UntrimmedFilter:
+            return ~matched
+        raise AssertionError(ftype)  # pragma: no cover - excluded at build
 
     def _apply_quality(self, tok, q_extras, keep_start, keep_stop):
         """Apply fetched NextSeq/quality windows and count their stats —
-        the async twin of the 5'-cutoff sync path in :meth:`_submit`."""
+        the async twin of the 5'-cutoff sync path in :meth:`submit`."""
         cursor = 0
         win_len = keep_stop - keep_start
         if self.nextseq is not None:
@@ -775,45 +722,6 @@ class TurboTrimRunner:
         return keep_start, keep_stop
 
     # -- helpers ------------------------------------------------------------
-
-    def _open_output(self, path):
-        """Binary output handle (bytes from the native formatter go
-        straight through — no text-codec round trip). Honors the Writers
-        shard suffix (multi-host mode) and registers with the container so
-        close/force-create bookkeeping stays unified."""
-        from atropos_tpu.commands.trim.writers import add_suffix_to_path
-        from atropos_tpu.io import xopen
-
-        handle = self.writers.writers.get(path)
-        if handle is None:
-            physical = (
-                add_suffix_to_path(path, self.writers.suffix)
-                if self.writers.suffix
-                else path
-            )
-            handle = xopen(physical, "wb")
-            self.writers.writers[path] = handle
-        return handle
-
-    @staticmethod
-    def _open_input(path):
-        """Binary chunk stream over the input: plain file, or streaming
-        decompression for gz/bz2/xz (system gzip subprocess when
-        available, so decompression overlaps compute in its own
-        process)."""
-        from atropos_tpu.io.compression import get_file_opener
-
-        opener = get_file_opener(path)
-        if opener is not None:
-            return opener(path, "rb")
-        return open(path, "rb")
-
-    def _find_mod(self, mod_class):
-        for entry in self.record_handler.modifiers.modifiers:
-            mod = entry[0] if isinstance(entry, list) else entry
-            if isinstance(mod, mod_class):
-                return mod
-        raise AssertionError(mod_class)
 
     def _gather(self, chunk, sub, offs, extra_off, width, pad_b=None):
         from atropos_tpu.runtime import _i32, _i64, _lib, _u8
@@ -924,34 +832,481 @@ class TurboTrimRunner:
         is_n = (seqs == ord("N")) | (seqs == ord("n"))
         return (is_n & in_win).sum(axis=1)
 
-    def _format(self, chunk, sub, keep_start, keep_stop, keep):
+
+def _format_records(chunk, sub, keep_start, keep_stop, keep):
+    """Native formatter: trimmed FASTQ bytes for the kept records."""
+    from atropos_tpu.runtime import _i32, _i64, _lib, _u8
+
+    name_off = np.ascontiguousarray(chunk.name_off[sub])
+    name_len = np.ascontiguousarray(chunk.name_len[sub])
+    seq_off = np.ascontiguousarray(chunk.seq_off[sub])
+    plus_off = np.ascontiguousarray(chunk.plus_off[sub])
+    plus_len = np.ascontiguousarray(chunk.plus_len[sub])
+    qual_off = np.ascontiguousarray(chunk.qual_off[sub])
+    ks = np.ascontiguousarray(keep_start, np.int32)
+    kp = np.ascontiguousarray(keep_stop, np.int32)
+    kmask = np.ascontiguousarray(keep.astype(np.uint8))
+    cap = int(
+        name_len.sum() + plus_len.sum()
+        + 2 * np.maximum(kp - ks, 0)[keep].sum()
+        + name_off.shape[0] * 8 + 16
+    )
+    out = np.empty(cap, dtype=np.uint8)
+    written = _lib.fastq_format_trimmed(
+        _u8(chunk.buf),
+        _i64(name_off), _i32(name_len),
+        _i64(seq_off),
+        _i64(plus_off), _i32(plus_len),
+        _i64(qual_off),
+        _i32(ks), _i32(kp), _u8(kmask),
+        name_off.shape[0],
+        _u8(out), cap,
+    )
+    if written < 0:
+        raise RuntimeError("format capacity exceeded")
+    return out[:written].tobytes()
+
+
+class _TurboRunnerBase:
+    """Shared driver plumbing: eligibility helpers, output opening."""
+
+    CHUNK_BYTES = 64 * 1024 * 1024
+    MAX_BATCH = _env_int("ATROPOS_TPU_TURBO_BATCH", 16384)
+    DEPTH = _env_int("ATROPOS_TPU_TURBO_DEPTH", 3)
+
+    @staticmethod
+    def _decline(reason):
+        logging.getLogger().info("turbo path declined: %s", reason)
+        return None
+
+    @classmethod
+    def _check_common(cls, command_runner, record_handler):
+        """Shared eligibility gates; returns a decline reason or None."""
+        from atropos_tpu.commands.trim import RecordHandler
+
+        options = command_runner.options
+        if not runtime.available():
+            return "native runtime unavailable"
+        if options.colorspace:
+            return "colorspace input"
+        if not isinstance(record_handler, RecordHandler):
+            return "non-default record handler"
+        if options.action != "trim" or options.times != 1:
+            return "action!=trim or times>1"
+        if (
+            options.info_file
+            or options.rest_file
+            or options.wildcard_file
+            or options.untrimmed_output
+            or options.too_short_output
+            or options.too_long_output
+            or options.merged_output
+            or options.stats
+        ):
+            return "side-channel outputs or --stats"
+        for ftype in record_handler.filters.filters:
+            if ftype not in (
+                TooShortReadFilter,
+                TooLongReadFilter,
+                NContentFilter,
+                TrimmedFilter,
+                UntrimmedFilter,
+            ):
+                return "unsupported filter %s" % ftype.__name__
+        return None
+
+    @staticmethod
+    def _fastq_path(path):
+        from atropos_tpu.io.compression import splitext_compressed
+
+        return (
+            path
+            and isinstance(path, str)
+            and path != "-"
+            and "{name}" not in path
+            and splitext_compressed(path)[1] in (".fastq", ".fq")
+        )
+
+    def _open_output(self, path):
+        """Binary output handle (bytes from the native formatter go
+        straight through — no text-codec round trip). Honors the Writers
+        shard suffix (multi-host mode) and registers with the container so
+        close/force-create bookkeeping stays unified."""
+        from atropos_tpu.commands.trim.writers import add_suffix_to_path
+        from atropos_tpu.io import xopen
+
+        handle = self.writers.writers.get(path)
+        if handle is None:
+            physical = (
+                add_suffix_to_path(path, self.writers.suffix)
+                if self.writers.suffix
+                else path
+            )
+            handle = xopen(physical, "wb")
+            self.writers.writers[path] = handle
+        return handle
+
+    def _update_counts(self, total_records, bp_counts):
+        summary = self.command_runner.summary
+        if total_records:
+            summary.update(
+                record_counts={0: total_records},
+                total_record_count=total_records,
+                bp_counts={0: list(bp_counts)},
+                total_bp_counts=tuple(bp_counts),
+                sum_total_bp_count=sum(bp_counts),
+            )
+        else:
+            # empty input: match the scalar batcher, which never emits a
+            # batch and leaves the count structures empty
+            summary.update(
+                record_counts={},
+                total_record_count=0,
+                bp_counts={},
+                total_bp_counts=(),
+                sum_total_bp_count=0,
+            )
+        summary.update(self.record_handler.summarize())
+
+
+class TurboTrimRunner(_TurboRunnerBase):
+    """Streaming interval-based trim for eligible single-end configs."""
+
+    @classmethod
+    def build(cls, command_runner, record_handler, writers):
+        """Return a runner if the configuration is turbo-eligible."""
+        options = command_runner.options
+        if options.paired:
+            return cls._decline("paired input")
+        reason = cls._check_common(command_runner, record_handler)
+        if reason:
+            return cls._decline(reason)
+        input1 = options.input1
+        if not input1 or not isinstance(input1, str):
+            return cls._decline("non-path input")
+        if options.input2 or options.interleaved_input:
+            return cls._decline("paired input")
+        if not cls._fastq_path(input1):
+            return cls._decline("non-FASTQ input")
+        if not cls._fastq_path(options.output):
+            return cls._decline("non-FASTQ/stdout/demultiplexed output")
+
+        mods = [
+            entry[0] if isinstance(entry, list) else entry
+            for entry in record_handler.modifiers.modifiers
+        ]
+        lane = _MateLane.from_modifier_list(mods)
+        if isinstance(lane, str):
+            return cls._decline(lane)
+        return cls(command_runner, record_handler, writers, lane)
+
+    def __init__(self, command_runner, record_handler, writers, lane):
+        self.command_runner = command_runner
+        self.options = command_runner.options
+        self.record_handler = record_handler
+        self.writers = writers
+        self.lane = lane
+
+    # -- main loop ------------------------------------------------------------
+
+    def run(self):
+        options = self.options
+        logging.getLogger().info("Running turbo device trim pipeline")
+        out = self._open_output(options.output)
+
+        total_records = 0
+        total_bp = 0
+        inflight = collections.deque()
+        # multi-host sharding: chunk boundaries are deterministic (same
+        # file, same chunking), so round-robin chunk ownership partitions
+        # the records exactly once across hosts
+        shard_rank = getattr(self.command_runner, "shard_rank", 0)
+        shard_count = getattr(self.command_runner, "shard_count", 1)
+        chunk_index = 0
+        stream = _ChunkStream(options.input1, self.CHUNK_BYTES)
+        try:
+            while True:
+                chunk = stream.next_chunk()
+                if chunk is None:
+                    break
+                if chunk_index % shard_count == shard_rank:
+                    total_records += chunk.n
+                    total_bp += int(chunk.seq_len.sum())
+                    for start in range(0, chunk.n, self.MAX_BATCH):
+                        sub = slice(
+                            start, min(start + self.MAX_BATCH, chunk.n)
+                        )
+                        inflight.append(self.lane.submit(chunk, sub))
+                        while len(inflight) >= self.DEPTH:
+                            self._resolve(inflight.popleft(), out)
+                chunk_index += 1
+        finally:
+            stream.close()
+        while inflight:
+            self._resolve(inflight.popleft(), out)
+
+        self._update_counts(total_records, (total_bp, 0))
+        out.flush()
+        self.writers.close()
+        return 0
+
+    # -- resolve: windows -> filters -> formatter -----------------------------
+
+    def _resolve(self, tok, out):
+        keep_start, keep_stop, matched = self.lane.resolve_windows(tok)
+        final_len = keep_stop - keep_start
+
+        # filters, in registration order (first match wins)
+        dest_none = np.ones(tok.batch, bool)
+        for ftype, wrapper in self.record_handler.filters.filters.items():
+            hit = dest_none & self.lane.criterion_hits(
+                ftype, wrapper, tok, keep_start, keep_stop, matched
+            )
+            wrapper.filtered += int(hit.sum())
+            dest_none &= ~hit
+
+        keep = dest_none
+        formatter = self.record_handler.formatters.seq_formatters.get(NoFilter)
+        self.record_handler.formatters.discarded += int((~keep).sum())
+        if formatter is not None:
+            formatter.written += int(keep.sum())
+            formatter.read1_bp += int(final_len[keep].sum())
+            out.write(
+                _format_records(tok.chunk, tok.sub, keep_start, keep_stop, keep)
+            )
+
+
+class TurboPairedRunner(_TurboRunnerBase):
+    """Streaming interval-based trim for eligible paired-end
+    adapter-align configs: two :class:`_MateLane`s fed by two
+    synchronized chunk streams, vectorized pair filters, two outputs.
+
+    Insert-align (``--aligner insert``) configurations decline here and
+    run through the batched engine instead (its InsertAdapterCutter entry
+    is a ReadPairModifier).
+    """
+
+    @classmethod
+    def build(cls, command_runner, record_handler, writers):
+        options = command_runner.options
+        if not options.paired:
+            return cls._decline("single-end input")
+        reason = cls._check_common(command_runner, record_handler)
+        if reason:
+            return cls._decline(reason)
+        input1, input2 = options.input1, options.input2
+        if (
+            not input1 or not input2
+            or not isinstance(input1, str) or not isinstance(input2, str)
+            or options.interleaved_input
+        ):
+            return cls._decline("interleaved or non-path paired input")
+        if not (cls._fastq_path(input1) and cls._fastq_path(input2)):
+            return cls._decline("non-FASTQ paired input")
+        if options.interleaved_output:
+            return cls._decline("interleaved output")
+        if not (
+            cls._fastq_path(options.output)
+            and cls._fastq_path(options.paired_output)
+        ):
+            return cls._decline("non-FASTQ/stdout/demultiplexed output")
+        if (
+            options.untrimmed_paired_output
+            or options.too_short_paired_output
+            or options.too_long_paired_output
+        ):
+            return cls._decline("paired side-channel outputs")
+
+        mods1, mods2 = [], []
+        for entry in record_handler.modifiers.modifiers:
+            if isinstance(entry, ReadPairModifier):
+                # insert cutter / merge / overwrite: engine or scalar path
+                return cls._decline(
+                    "pair modifier %s" % type(entry).__name__
+                )
+            if entry[0] is not None:
+                mods1.append(entry[0])
+            if entry[1] is not None:
+                mods2.append(entry[1])
+        lane1 = _MateLane.from_modifier_list(mods1)
+        if isinstance(lane1, str):
+            return cls._decline(lane1)
+        lane2 = _MateLane.from_modifier_list(mods2)
+        if isinstance(lane2, str):
+            return cls._decline(lane2)
+        return cls(command_runner, record_handler, writers, lane1, lane2)
+
+    def __init__(self, command_runner, record_handler, writers, lane1, lane2):
+        self.command_runner = command_runner
+        self.options = command_runner.options
+        self.record_handler = record_handler
+        self.writers = writers
+        self.lane1 = lane1
+        self.lane2 = lane2
+
+    # -- main loop ------------------------------------------------------------
+
+    def run(self):
+        options = self.options
+        logging.getLogger().info("Running turbo paired device trim pipeline")
+        out1 = self._open_output(options.output)
+        out2 = self._open_output(options.paired_output)
+
+        total_pairs = 0
+        bp1 = bp2 = 0
+        inflight = collections.deque()
+        shard_rank = getattr(self.command_runner, "shard_rank", 0)
+        shard_count = getattr(self.command_runner, "shard_count", 1)
+        batch_index = 0
+        s1 = _ChunkStream(options.input1, self.CHUNK_BYTES)
+        s2 = _ChunkStream(options.input2, self.CHUNK_BYTES)
+        cur1 = cur2 = None
+        pos1 = pos2 = 0
+        try:
+            while True:
+                if cur1 is None or pos1 == cur1.n:
+                    cur1 = s1.next_chunk()
+                    pos1 = 0
+                if cur2 is None or pos2 == cur2.n:
+                    cur2 = s2.next_chunk()
+                    pos2 = 0
+                if cur1 is None or cur2 is None:
+                    if (cur1 is None) != (cur2 is None):
+                        from atropos_tpu.io.seqio import FormatError
+
+                        more, less = (2, 1) if cur1 is None else (1, 2)
+                        raise FormatError(
+                            "Reads are improperly paired. There are more "
+                            "reads in file {0} than in file {1}.".format(
+                                more, less
+                            )
+                        )
+                    break
+                take = min(cur1.n - pos1, cur2.n - pos2, self.MAX_BATCH)
+                sub1 = slice(pos1, pos1 + take)
+                sub2 = slice(pos2, pos2 + take)
+                pos1 += take
+                pos2 += take
+                if batch_index % shard_count == shard_rank:
+                    total_pairs += take
+                    bp1 += int(cur1.seq_len[sub1].sum())
+                    bp2 += int(cur2.seq_len[sub2].sum())
+                    inflight.append(
+                        (self.lane1.submit(cur1, sub1),
+                         self.lane2.submit(cur2, sub2))
+                    )
+                    while len(inflight) >= self.DEPTH:
+                        tok1, tok2 = inflight.popleft()
+                        self._resolve_pair(tok1, tok2, out1, out2)
+                batch_index += 1
+        finally:
+            s1.close()
+            s2.close()
+        while inflight:
+            tok1, tok2 = inflight.popleft()
+            self._resolve_pair(tok1, tok2, out1, out2)
+
+        self._update_counts(total_pairs, (bp1, bp2))
+        out1.flush()
+        out2.flush()
+        self.writers.close()
+        return 0
+
+    # -- resolve: windows -> pair filters -> formatters ------------------------
+
+    @staticmethod
+    def _gather_names(tok, width):
         from atropos_tpu.runtime import _i32, _i64, _lib, _u8
 
-        name_off = np.ascontiguousarray(chunk.name_off[sub])
-        name_len = np.ascontiguousarray(chunk.name_len[sub])
-        seq_off = np.ascontiguousarray(chunk.seq_off[sub])
-        plus_off = np.ascontiguousarray(chunk.plus_off[sub])
-        plus_len = np.ascontiguousarray(chunk.plus_len[sub])
-        qual_off = np.ascontiguousarray(chunk.qual_off[sub])
-        ks = np.ascontiguousarray(keep_start, np.int32)
-        kp = np.ascontiguousarray(keep_stop, np.int32)
-        kmask = np.ascontiguousarray(keep.astype(np.uint8))
-        cap = int(
-            name_len.sum() + plus_len.sum()
-            + 2 * np.maximum(kp - ks, 0)[keep].sum()
-            + name_off.shape[0] * 8 + 16
+        chunk, sub = tok.chunk, tok.sub
+        offs = np.ascontiguousarray(chunk.name_off[sub], np.int64)
+        lens = np.ascontiguousarray(chunk.name_len[sub], np.int32)
+        out = np.zeros((offs.shape[0], width), np.uint8)
+        _lib.gather_padded(
+            _u8(chunk.buf), _i64(offs), _i32(lens),
+            offs.shape[0], width, _u8(out),
         )
-        out = np.empty(cap, dtype=np.uint8)
-        written = _lib.fastq_format_trimmed(
-            _u8(chunk.buf),
-            _i64(name_off), _i32(name_len),
-            _i64(seq_off),
-            _i64(plus_off), _i32(plus_len),
-            _i64(qual_off),
-            _i32(ks), _i32(kp), _u8(kmask),
-            name_off.shape[0],
-            _u8(out), cap,
+        return out, lens
+
+    def _check_pair_names(self, tok1, tok2):
+        """Vectorized twin of ``seqio.sequence_names_match``: first
+        whitespace-delimited token, ignoring a trailing 1/2 mate digit."""
+        from atropos_tpu.io.seqio import FormatError
+
+        width = int(
+            max(
+                tok1.chunk.name_len[tok1.sub].max(initial=1),
+                tok2.chunk.name_len[tok2.sub].max(initial=1),
+            )
         )
-        if written < 0:
-            raise RuntimeError("format capacity exceeded")
-        return out[:written].tobytes()
+        a1, len1 = self._gather_names(tok1, width)
+        a2, len2 = self._gather_names(tok2, width)
+        idx = np.arange(width, dtype=np.int32)[None, :]
+
+        def token_len(arr, lens):
+            ws = ((arr == 32) | (arr == 9)) & (idx < lens[:, None])
+            has = ws.any(axis=1)
+            first = np.where(has, ws.argmax(axis=1), lens)
+            return first.astype(np.int32)
+
+        t1 = token_len(a1, len1)
+        t2 = token_len(a2, len2)
+        diff = a1 != a2
+        has_diff = diff.any(axis=1)
+        mismatch_at = np.where(has_diff, diff.argmax(axis=1), width)
+        ok_full = (t1 == t2) & (mismatch_at >= t1)
+        last1 = a1[np.arange(a1.shape[0]), np.maximum(t1 - 1, 0)]
+        last2 = a2[np.arange(a2.shape[0]), np.maximum(t2 - 1, 0)]
+        both_12 = (
+            (t1 > 0) & (t2 > 0)
+            & ((last1 == ord("1")) | (last1 == ord("2")))
+            & ((last2 == ord("1")) | (last2 == ord("2")))
+        )
+        ok_strip = both_12 & (t1 == t2) & (mismatch_at >= t1 - 1)
+        bad = ~(ok_full | ok_strip)
+        if bad.any():
+            row = int(np.nonzero(bad)[0][0])
+            name1 = a1[row, : len1[row]].tobytes().decode("latin-1")
+            name2 = a2[row, : len2[row]].tobytes().decode("latin-1")
+            raise FormatError(
+                "Reads are improperly paired. Read name '{0}' in file 1 "
+                "does not match '{1}' in file 2.".format(name1, name2)
+            )
+
+    def _resolve_pair(self, tok1, tok2, out1, out2):
+        self._check_pair_names(tok1, tok2)
+        ks1, kp1, matched1 = self.lane1.resolve_windows(tok1)
+        ks2, kp2, matched2 = self.lane2.resolve_windows(tok2)
+        len1 = kp1 - ks1
+        len2 = kp2 - ks2
+
+        # pair filters in registration order (first match wins). The
+        # PairedWrapper combines per-mate criteria with min_affected
+        # (1 = any, 2 = both); legacy 'first' mode wraps SingleWrapper,
+        # which only inspects read1.
+        dest_none = np.ones(tok1.batch, bool)
+        for ftype, wrapper in self.record_handler.filters.filters.items():
+            c1 = self.lane1.criterion_hits(
+                ftype, wrapper, tok1, ks1, kp1, matched1
+            )
+            if isinstance(wrapper, PairedWrapper):
+                c2 = self.lane2.criterion_hits(
+                    ftype, wrapper, tok2, ks2, kp2, matched2
+                )
+                hit = (c1 | c2) if wrapper.min_affected == 1 else (c1 & c2)
+            else:
+                hit = c1
+            hit = dest_none & hit
+            wrapper.filtered += int(hit.sum())
+            dest_none &= ~hit
+
+        keep = dest_none
+        formatters = self.record_handler.formatters
+        formatter = formatters.seq_formatters.get(NoFilter)
+        formatters.discarded += int((~keep).sum())
+        if formatter is not None:
+            formatter.written += int(keep.sum())
+            formatter.read1_bp += int(len1[keep].sum())
+            formatter.read2_bp += int(len2[keep].sum())
+            out1.write(_format_records(tok1.chunk, tok1.sub, ks1, kp1, keep))
+            out2.write(_format_records(tok2.chunk, tok2.sub, ks2, kp2, keep))

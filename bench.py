@@ -1,6 +1,6 @@
 """Benchmark: single-chip trim throughput of the batched engine.
 
-Reports FOUR numbers in one JSON line:
+Reports FIVE numbers in one JSON line:
 
 - ``value`` (headline, ``reads/s/chip``): steady-state throughput of the
   core device kernel (semi-global adapter DP over a read batch) for the
@@ -23,6 +23,9 @@ Reports FOUR numbers in one JSON line:
 - ``extra.pe_insert_pairs_per_sec``: the paired-end insert-overlap
   matcher kernel (variable-length diagonal match counting), same
   pipelined-window methodology.
+- ``extra.end_to_end_pe_pairs_per_sec``: the full PAIRED turbo trim
+  pipeline (adapter aligner, two input/output streams, pair filters)
+  via the real CLI — same transfer-bound caveat as the SE number.
 
 Baseline: the reference trims ~800k simulated 125 bp pairs in 32.7-43.5 s
 using 4 CPU cores (PeerJ paper TableS2; see BASELINE.md) — about 42k
@@ -236,6 +239,48 @@ def bench_end_to_end(arr):
     return E2E_READS / best
 
 
+ADAPTER2 = "AGATCGGAAGAGCGTCGTGTAGGGAAAGAGTGT"  # TruSeq R2, 33 bp
+
+
+def bench_end_to_end_pe(arr):
+    """Full PAIRED turbo pipeline (adapter aligner) via the real CLI:
+    two on-disk FASTQs, two output streams, pair filters. Pairs/s."""
+    import numpy as np
+
+    from atropos_tpu.commands import execute_cli
+
+    pairs = E2E_READS // 2
+    tmp = "/tmp/atropos_bench"
+    os.makedirs(tmp, exist_ok=True)
+    inp1 = os.path.join(tmp, "bench_in.1.fastq")
+    inp2 = os.path.join(tmp, "bench_in.2.fastq")
+    out1 = os.path.join(tmp, "bench_out.1.fastq")
+    out2 = os.path.join(tmp, "bench_out.2.fastq")
+    report = os.path.join(tmp, "report_pe.txt")
+    reps = -(-pairs // arr.shape[0])
+    big = np.tile(arr, (reps, 1))[:pairs]
+    write_fastq(inp1, big)
+    arr2 = make_read_matrix(arr.shape[0], arr.shape[1], ADAPTER2, seed=3)
+    big2 = np.tile(arr2, (reps, 1))[:pairs]
+    write_fastq(inp2, big2)
+
+    argv = [
+        "trim", "-pe1", inp1, "-pe2", inp2,
+        "-a", ADAPTER, "-A", ADAPTER2, "--aligner", "adapter",
+        "-o", out1, "-p", out2,
+        "--no-default-adapters", "--report-file", report, "--quiet",
+    ]
+    rc = execute_cli(list(argv))
+    if rc != 0:
+        return 0.0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        execute_cli(list(argv))
+        best = min(best, time.time() - t0)
+    return pairs / best
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -244,6 +289,7 @@ def main():
     kernel_rps = bench_kernel(arr, jax, jnp)
     pe_pps = bench_pe_insert(jax, jnp)
     e2e_rps = bench_end_to_end(arr)
+    e2e_pe_pps = bench_end_to_end_pe(arr)
 
     print(
         json.dumps(
@@ -264,6 +310,7 @@ def main():
                         "on production PCIe hosts"
                     ),
                     pe_insert_pairs_per_sec=round(pe_pps, 1),
+                    end_to_end_pe_pairs_per_sec=round(e2e_pe_pps, 1),
                 ),
             )
         )

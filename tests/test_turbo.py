@@ -72,6 +72,10 @@ CONFIGS = [
     ["-a", AD, "-a", "two=TTAGACATATCTCCGTCG", "-O", "5"],
     ["-a", "wild=ACGTNNNACGT"],  # wildcard adapter
     ["-q", "20", "-m", "10"],  # no adapters at all
+    # anchored no-indel adapters: vectorized host comparator path
+    ["-g", "anch=^ACGTACGTAA", "--no-indels"],
+    ["-a", "sufx=TTAGACATATCTCCGTCG$", "--no-indels"],
+    ["-g", "anch=^ACGTACGTAA", "-a", AD, "--no-indels", "-q", "20"],
 ]
 
 
@@ -187,3 +191,153 @@ def test_turbo_ineligible_falls_back(tmp_path):
         turbo=True,
     )
     assert summary.get("mode") == "serial"
+
+
+# -- paired-end turbo ---------------------------------------------------------
+
+ADAPTER2 = "AGATCGGAAGAGCGTCGTGTAGGGAAAGAGTGT"
+
+
+def _write_synthetic_pair(tmp_path, n=400, read_len=100, seed=7):
+    rng = random.Random(seed)
+    path1 = str(tmp_path / "in.1.fastq")
+    path2 = str(tmp_path / "in.2.fastq")
+    with open(path1, "w") as out1, open(path2, "w") as out2:
+        for i in range(n):
+            for mate, out, adapter in ((1, out1, ADAPTER), (2, out2, ADAPTER2)):
+                seq = "".join(rng.choice("ACGT") for _ in range(read_len))
+                if rng.random() < 0.5:
+                    pos = rng.randrange(10, read_len - 3)
+                    alen = min(len(adapter), read_len - pos)
+                    seq = (seq[:pos] + adapter[:alen] + seq[pos + alen :])[
+                        :read_len
+                    ]
+                if rng.random() < 0.1:
+                    seq = seq[: rng.randrange(5, read_len)]
+                qual = "".join(
+                    chr(33 + rng.randint(2, 40)) for _ in range(len(seq))
+                )
+                out.write(
+                    "@r{}/{} x\n{}\n+\n{}\n".format(i, mate, seq, qual)
+                )
+    return path1, path2
+
+
+def _run_paired(tmp_path, args, in1, in2, tag, turbo):
+    out1 = str(tmp_path / "out1-{}.fastq".format(tag))
+    out2 = str(tmp_path / "out2-{}.fastq".format(tag))
+    rep = str(tmp_path / "rep-{}.json".format(tag))
+    argv = list(args) + [
+        "-pe1", in1, "-pe2", in2, "-o", out1, "-p", out2,
+        "--no-cache-adapters", "--no-default-adapters",
+        "--report-file", rep, "--quiet",
+    ]
+    import os
+
+    old = os.environ.get("ATROPOS_TPU_ENGINE")
+    os.environ["ATROPOS_TPU_ENGINE"] = "1" if turbo else "0"
+    try:
+        retcode, summary = get_command("trim").execute(argv)
+    finally:
+        if old is None:
+            os.environ.pop("ATROPOS_TPU_ENGINE", None)
+        else:
+            os.environ["ATROPOS_TPU_ENGINE"] = old
+    assert retcode == 0, summary.get("exception")
+    return out1, out2, rep, summary
+
+
+AD2 = "tru2=" + ADAPTER2
+PE_CONFIGS = [
+    ["-a", AD, "-A", AD2, "--aligner", "adapter"],
+    ["-a", AD, "-A", AD2, "--aligner", "adapter", "-q", "20", "-m", "14"],
+    ["-a", AD, "-A", AD2, "--aligner", "adapter", "-q", "15,20", "-u", "2"],
+    ["-a", AD, "-A", AD2, "--aligner", "adapter", "--pair-filter", "both",
+     "-m", "30"],
+    ["-a", AD, "-A", AD2, "--aligner", "adapter", "--discard-untrimmed"],
+    ["-a", AD, "-A", AD2, "--aligner", "adapter", "--nextseq-trim", "22"],
+    ["-a", AD, "-A", AD2, "--aligner", "adapter", "-M", "90", "--max-n",
+     "0.1"],
+    # legacy 'first' pairing mode: only read1 is modified
+    ["-a", AD],
+]
+
+
+@pytest.mark.parametrize("config", PE_CONFIGS, ids=lambda c: " ".join(c))
+def test_turbo_paired_matches_scalar(tmp_path, config):
+    in1, in2 = _write_synthetic_pair(tmp_path)
+    s1, s2, rep_s, sum_s = _run_paired(
+        tmp_path, config, in1, in2, "scalar", turbo=False
+    )
+    t1, t2, rep_t, sum_t = _run_paired(
+        tmp_path, config, in1, in2, "turbo", turbo=True
+    )
+    assert sum_t.get("mode") == "turbo", "paired turbo path not taken"
+    for scalar_file, turbo_file in ((s1, t1), (s2, t2)):
+        with open(scalar_file) as fh:
+            scalar_data = fh.read()
+        with open(turbo_file) as fh:
+            turbo_data = fh.read()
+        assert turbo_data == scalar_data
+    rep_scalar = json.load(open(rep_s))
+    rep_turbo = json.load(open(rep_t))
+    for key in (
+        "total_record_count",
+        "total_bp_counts",
+        "record_counts",
+        "bp_counts",
+    ):
+        assert rep_turbo[key] == rep_scalar[key], key
+    trim_s = rep_scalar.get("trim")
+    trim_t = rep_turbo.get("trim")
+    if trim_s:
+        assert trim_t["formatters"] == trim_s["formatters"]
+        assert trim_t["filters"] == trim_s["filters"]
+        assert trim_t["modifiers"] == trim_s["modifiers"]
+
+
+def test_turbo_paired_name_mismatch(tmp_path):
+    """Improperly paired names raise the scalar reader's FormatError."""
+    in1, in2 = _write_synthetic_pair(tmp_path, n=30)
+    lines = open(in2).read().splitlines(True)
+    lines[0] = "@zzz/2 x\n"
+    with open(in2, "w") as fh:
+        fh.write("".join(lines))
+    import os
+
+    os.environ["ATROPOS_TPU_ENGINE"] = "1"
+    try:
+        retcode, summary = get_command("trim").execute(
+            ["-a", AD, "-A", AD2, "--aligner", "adapter",
+             "-pe1", in1, "-pe2", in2,
+             "-o", str(tmp_path / "o1.fastq"),
+             "-p", str(tmp_path / "o2.fastq"),
+             "--no-cache-adapters", "--no-default-adapters", "--quiet"]
+        )
+    finally:
+        os.environ.pop("ATROPOS_TPU_ENGINE", None)
+    assert retcode != 0
+    assert "improperly paired" in str(summary.get("exception"))
+
+
+def test_turbo_paired_length_mismatch(tmp_path):
+    """File-length mismatch raises the scalar reader's FormatError."""
+    in1, in2 = _write_synthetic_pair(tmp_path, n=30)
+    lines = open(in2).read().splitlines(True)
+    with open(in2, "w") as fh:
+        fh.write("".join(lines[:-4]))
+    import os
+
+    os.environ["ATROPOS_TPU_ENGINE"] = "1"
+    try:
+        retcode, summary = get_command("trim").execute(
+            ["-a", AD, "-A", AD2, "--aligner", "adapter",
+             "-pe1", in1, "-pe2", in2,
+             "-o", str(tmp_path / "o1.fastq"),
+             "-p", str(tmp_path / "o2.fastq"),
+             "--no-cache-adapters", "--no-default-adapters", "--quiet"]
+        )
+    finally:
+        os.environ.pop("ATROPOS_TPU_ENGINE", None)
+    assert retcode != 0
+    assert "more reads in file" in str(summary.get("exception"))
