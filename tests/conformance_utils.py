@@ -23,6 +23,41 @@ EXPECTED_ENGINE_FALLBACKS = frozenset(
 ENGINE_RUN_TALLY = {"engine": 0, "turbo": 0, "whitelisted_fallback": 0}
 
 
+def tracked_execute(params):
+    """Execute the trim command; in engine-forced runs, prove the batched
+    path actually ran (or the fallback reason is on the legitimate
+    whitelist): a future change that silently de-batches the suite must
+    FAIL here, not quietly re-test scalar."""
+    from atropos_tpu.commands import get_command
+
+    engine_forced = (
+        os.environ.get("ATROPOS_TPU_ENGINE") == "1"
+        and "--threads" not in params
+    )
+    if engine_forced:
+        from atropos_tpu import engine as engine_mod
+
+        counts_before = dict(engine_mod.BUILD_COUNTS)
+
+    retcode, summary = get_command("trim").execute(params)
+
+    if engine_forced and retcode == 0:
+        from atropos_tpu import engine as engine_mod
+
+        if summary.get("mode") == "turbo":
+            ENGINE_RUN_TALLY["turbo"] += 1
+        elif engine_mod.BUILD_COUNTS["engine"] > counts_before["engine"]:
+            ENGINE_RUN_TALLY["engine"] += 1
+        else:
+            reason = engine_mod.LAST_FALLBACK_REASON
+            assert reason in EXPECTED_ENGINE_FALLBACKS, (
+                "engine-forced golden run fell back to the scalar "
+                "pipeline for a non-whitelisted reason: {!r}".format(reason)
+            )
+            ENGINE_RUN_TALLY["whitelisted_fallback"] += 1
+    return retcode, summary
+
+
 def datapath(path):
     return os.path.join(CONFORMANCE_DIR, "data", path)
 
@@ -102,35 +137,8 @@ def run_trim(
     # reports to a scratch file, not stdout
     params += ["--report-file", str(tmp_path / "report.txt"), "--quiet"]
 
-    engine_forced = (
-        os.environ.get("ATROPOS_TPU_ENGINE") == "1"
-        and "--threads" not in params
-    )
-    if engine_forced:
-        from atropos_tpu import engine as engine_mod
+    retcode, summary = tracked_execute(params)
 
-        counts_before = dict(engine_mod.BUILD_COUNTS)
-
-    command = get_command("trim")
-    retcode, summary = command.execute(params)
-
-    if engine_forced and retcode == 0:
-        # Prove the batched path actually ran (or the fallback reason is
-        # on the legitimate whitelist): a future change that silently
-        # de-batches the suite must FAIL here, not quietly re-test scalar.
-        if summary.get("mode") == "turbo":
-            ENGINE_RUN_TALLY["turbo"] += 1
-        elif (
-            engine_mod.BUILD_COUNTS["engine"] > counts_before["engine"]
-        ):
-            ENGINE_RUN_TALLY["engine"] += 1
-        else:
-            reason = engine_mod.LAST_FALLBACK_REASON
-            assert reason in EXPECTED_ENGINE_FALLBACKS, (
-                "engine-forced golden run fell back to the scalar "
-                "pipeline for a non-whitelisted reason: {!r}".format(reason)
-            )
-            ENGINE_RUN_TALLY["whitelisted_fallback"] += 1
     assert summary is not None
     assert isinstance(summary, dict)
     if "exception" in summary and summary["exception"] is not None:

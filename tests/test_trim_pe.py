@@ -14,6 +14,7 @@ from .conformance_utils import (
     cutpath,
     datapath,
     run_trim,
+    tracked_execute,
 )
 
 BACK_ALIGNERS = ("adapter", "insert")
@@ -46,8 +47,7 @@ def run_paired(
             p.extend(infile_args)
         p += ["--adapter-cache-file", str(tmp_path / ".adapters")]
         p += ["--report-file", str(tmp_path / "report.txt"), "--quiet"]
-        command = get_command("trim")
-        result = command.execute(p)
+        result = tracked_execute(p)
         assert isinstance(result, tuple)
         assert len(result) == 2
         err = (
