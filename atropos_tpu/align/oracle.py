@@ -21,6 +21,8 @@ TPU kernels cell-by-cell and to serve the rare host-side paths (colorspace,
 debug) where device batching has no payoff.
 """
 
+import numpy as np
+
 from atropos_tpu.align.flags import (
     ACGT_TABLE,
     IUPAC_TABLE,
@@ -340,15 +342,15 @@ def compare_prefixes(ref, query, wildcard_ref=False, wildcard_query=False):
     ref_b, query_b, compare_ascii = translate_pair(
         ref, query, wildcard_ref, wildcard_query
     )
-    matches = 0
+    # vectorized Hamming count (ref_b is the raw encoding in ascii mode,
+    # so byte equality is character equality); this sits on the per-pair
+    # insert-overhang path, so it must not be a Python char loop
+    a = np.frombuffer(ref_b[:length], np.uint8)
+    b = np.frombuffer(query_b[:length], np.uint8)
     if compare_ascii:
-        for i in range(length):
-            if ref[i] == query[i]:
-                matches += 1
+        matches = int((a == b).sum())
     else:
-        for i in range(length):
-            if (ref_b[i] & query_b[i]) != 0:
-                matches += 1
+        matches = int(((a & b) != 0).sum())
     return (0, length, 0, length, matches, length - matches)
 
 

@@ -358,10 +358,13 @@ class ReadStatistics:
         return self.qualities and self.tile_key_regexp is not None
 
     def _tile_of(self, record):
-        found = self.tile_key_regexp.match(record.name)
+        return self._tile_of_name(record.name)
+
+    def _tile_of_name(self, name):
+        found = self.tile_key_regexp.match(name)
         if not found:
             raise ValueError(
-                "{} did not match {}".format(self.tile_key_regexp, record.name)
+                "{} did not match {}".format(self.tile_key_regexp, name)
             )
         return found.group(1)
 
@@ -404,18 +407,40 @@ class ReadStatistics:
         """Vectorized collection of a whole record batch."""
         if not records:
             return
-        if self.qualities is None and records[0].qualities:
+        seqs, quals, lengths = _encode_batch(records)
+        names = (
+            [record.name for record in records] if self.track_tiles else None
+        )
+        self.collect_matrices(seqs, quals, lengths, names=names)
+
+    def collect_matrices(self, seqs, quals, lengths, names=None):
+        """Vectorized collection straight from padded uint8 matrices
+        (``[B, W]`` sequences/qualities + a length vector) — the form the
+        turbo driver and the batched engine already hold. Bytes beyond
+        each read's length are ignored. ``names`` is only needed when
+        per-tile statistics are tracked."""
+        count = lengths.shape[0]
+        if count == 0:
+            return
+        if self.qualities is None and quals is not None:
             self.qualities = True
             self._init_qualities()
 
-        seqs, quals, lengths = _encode_batch(records)
-        self.count += len(records)
+        self.count += count
         self.sequence_lengths.add_vector(lengths)
 
         nonempty = lengths > 0
         if not nonempty.any():
             return
-        width = seqs.shape[1]
+        # clip padded matrices to the longest read so position tables
+        # never grow all-zero rows beyond the observed lengths
+        width = int(lengths.max())
+        if seqs.shape[1] > width:
+            seqs = seqs[:, :width]
+            if quals is not None:
+                quals = quals[:, :width]
+        else:
+            width = seqs.shape[1]
         valid = np.arange(width)[None, :] < lengths[:, None]
         gc = (((seqs == ord("C")) | (seqs == ord("G"))) & valid).sum(axis=1)
         live = lengths[nonempty]
@@ -434,9 +459,13 @@ class ReadStatistics:
             self.sequence_qualities[int(value)] += 1
         self.base_qualities.add_batch(quals, live)
         if self.track_tiles:
-            kept = [r for r, keep in zip(records, nonempty) if keep]
-            for row, record in enumerate(kept):
-                tile = self._tile_of(record)
+            if names is None:
+                raise ValueError(
+                    "per-tile statistics require record names"
+                )
+            kept = [n for n, keep in zip(names, nonempty) if keep]
+            for row, name in enumerate(kept):
+                tile = self._tile_of_name(name)
                 self.tile_sequence_qualities[tile][int(mean_quality[row])] += 1
                 self.tile_base_qualities.table_for(tile).add_record(
                     quals[row, : live[row]]

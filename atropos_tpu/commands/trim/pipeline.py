@@ -93,8 +93,10 @@ class StatsRecordHandlerWrapper:
                 for source, stats in self.pre.items()
             }
         if self.post is not None:
+            # route filters without a short name (Trimmed/Untrimmed) fall
+            # back to the class name, mirroring FilterWrapper.name
             summary["post"] = {
-                dest.name: {
+                getattr(dest, "name", dest.__name__): {
                     source: stats.summarize()
                     for source, stats in table.items()
                 }

@@ -880,30 +880,46 @@ class _TurboRunnerBase:
         return None
 
     @classmethod
+    def _unwrap_handler(cls, record_handler):
+        """(inner RecordHandler, stats wrapper | None), or a decline-reason
+        string. ``--stats`` runs through turbo: pre/post ReadStatistics
+        collect straight from the gathered matrices (only per-tile stats,
+        which need per-record name parsing, stay scalar)."""
+        from atropos_tpu.commands.trim import RecordHandler
+        from atropos_tpu.commands.trim.pipeline import (
+            StatsRecordHandlerWrapper,
+        )
+
+        if isinstance(record_handler, StatsRecordHandlerWrapper):
+            inner = record_handler.record_handler
+            if not isinstance(inner, RecordHandler):
+                return "non-default record handler"
+            for kw_name in ("pre_kwargs", "post_kwargs"):
+                kwargs = getattr(record_handler, kw_name, None)
+                if kwargs and kwargs.get("tiles"):
+                    return "per-tile statistics"
+            return inner, record_handler
+        if isinstance(record_handler, RecordHandler):
+            return record_handler, None
+        return "non-default record handler"
+
+    @classmethod
     def _check_common(cls, command_runner, record_handler):
         """Shared eligibility gates; returns a decline reason or None."""
-        from atropos_tpu.commands.trim import RecordHandler
-
         options = command_runner.options
         if not runtime.available():
             return "native runtime unavailable"
         if options.colorspace:
             return "colorspace input"
-        if not isinstance(record_handler, RecordHandler):
-            return "non-default record handler"
         if options.action != "trim" or options.times != 1:
             return "action!=trim or times>1"
         if (
             options.info_file
             or options.rest_file
             or options.wildcard_file
-            or options.untrimmed_output
-            or options.too_short_output
-            or options.too_long_output
             or options.merged_output
-            or options.stats
         ):
-            return "side-channel outputs or --stats"
+            return "info/rest/wildcard/merged outputs"
         for ftype in record_handler.filters.filters:
             if ftype not in (
                 TooShortReadFilter,
@@ -926,6 +942,32 @@ class _TurboRunnerBase:
             and "{name}" not in path
             and splitext_compressed(path)[1] in (".fastq", ".fq")
         )
+
+    @classmethod
+    def _check_formatters(cls, formatters):
+        """Every destination formatter (main output plus untrimmed /
+        too-short / too-long files) must be a plain FASTQ-path formatter;
+        returns a decline reason or None. Also rejects one path serving
+        different mate roles (per-batch grouped writes could not
+        reproduce the scalar byte interleaving then)."""
+        from atropos_tpu.io.seqio import InterleavedFormatter
+
+        role_of = {}
+        for formatter in formatters.seq_formatters.values():
+            if isinstance(formatter, InterleavedFormatter):
+                return "interleaved output"
+            if not cls._fastq_path(formatter.file1):
+                return "non-FASTQ/stdout/demultiplexed output"
+            file2 = getattr(formatter, "file2", None)
+            roles = [(formatter.file1, 1)]
+            if file2 is not None:
+                if not cls._fastq_path(file2):
+                    return "non-FASTQ/stdout/demultiplexed output"
+                roles.append((file2, 2))
+            for path, role in roles:
+                if role_of.setdefault(path, role) != role:
+                    return "one path used for both mates"
+        return None
 
     def _open_output(self, path):
         """Binary output handle (bytes from the native formatter go
@@ -966,7 +1008,68 @@ class _TurboRunnerBase:
                 total_bp_counts=(),
                 sum_total_bp_count=0,
             )
-        summary.update(self.record_handler.summarize())
+        handler = self.stats if self.stats is not None else self.record_handler
+        summary.update(handler.summarize())
+
+    # -- --stats collection (pre/post ReadStatistics from matrices) -----------
+
+    @staticmethod
+    def _stats_obj(table, stats_class, kwargs):
+        if 0 not in table:
+            table[0] = stats_class(**kwargs)
+        return table[0]
+
+    @staticmethod
+    def _stats_parts(obj, n_mates):
+        return [obj] if n_mates == 1 else [obj.read1, obj.read2]
+
+    def _collect_turbo_stats(self, mates, dest_masks):
+        """Feed pre/post ReadStatistics straight from gathered matrices.
+
+        ``mates``: one (lane, tok, final_start, final_stop) per mate.
+        ``dest_masks``: [(filter type, row mask)] in routing order,
+        including the kept rows under NoFilter — exactly the scalar
+        wrapper's per-destination post tables.
+        """
+        stats = self.stats
+        if stats.pre is not None:
+            obj = self._stats_obj(
+                stats.pre, stats.read_statistics_class, stats.pre_kwargs
+            )
+            for part, (lane, tok, _, _) in zip(
+                self._stats_parts(obj, len(mates)), mates
+            ):
+                zero = np.zeros(tok.batch, np.int32)
+                seqs = lane._gather(
+                    tok.chunk, tok.sub, tok.chunk.seq_off, zero, tok.width
+                )
+                quals = lane._gather(
+                    tok.chunk, tok.sub, tok.chunk.qual_off, zero, tok.width
+                )
+                part.collect_matrices(seqs, quals, tok.n)
+        if stats.post is not None:
+            gathered = []
+            for lane, tok, start, stop in mates:
+                seqs = lane._gather(
+                    tok.chunk, tok.sub, tok.chunk.seq_off, start, tok.width
+                )
+                quals = lane._gather(
+                    tok.chunk, tok.sub, tok.chunk.qual_off, start, tok.width
+                )
+                gathered.append((seqs, quals, stop - start))
+            for ftype, mask in dest_masks:
+                if not mask.any():
+                    continue
+                table = stats.post.setdefault(ftype, {})
+                obj = self._stats_obj(
+                    table, stats.read_statistics_class, stats.post_kwargs
+                )
+                for part, (seqs, quals, lens) in zip(
+                    self._stats_parts(obj, len(mates)), gathered
+                ):
+                    part.collect_matrices(
+                        seqs[mask], quals[mask], lens[mask]
+                    )
 
 
 class TurboTrimRunner(_TurboRunnerBase):
@@ -978,7 +1081,11 @@ class TurboTrimRunner(_TurboRunnerBase):
         options = command_runner.options
         if options.paired:
             return cls._decline("paired input")
-        reason = cls._check_common(command_runner, record_handler)
+        unwrapped = cls._unwrap_handler(record_handler)
+        if isinstance(unwrapped, str):
+            return cls._decline(unwrapped)
+        inner, stats = unwrapped
+        reason = cls._check_common(command_runner, inner)
         if reason:
             return cls._decline(reason)
         input1 = options.input1
@@ -990,22 +1097,27 @@ class TurboTrimRunner(_TurboRunnerBase):
             return cls._decline("non-FASTQ input")
         if not cls._fastq_path(options.output):
             return cls._decline("non-FASTQ/stdout/demultiplexed output")
+        reason = cls._check_formatters(inner.formatters)
+        if reason:
+            return cls._decline(reason)
 
         mods = [
             entry[0] if isinstance(entry, list) else entry
-            for entry in record_handler.modifiers.modifiers
+            for entry in inner.modifiers.modifiers
         ]
         lane = _MateLane.from_modifier_list(mods)
         if isinstance(lane, str):
             return cls._decline(lane)
-        return cls(command_runner, record_handler, writers, lane)
+        return cls(command_runner, inner, writers, lane, stats)
 
-    def __init__(self, command_runner, record_handler, writers, lane):
+    def __init__(self, command_runner, record_handler, writers, lane,
+                 stats=None):
         self.command_runner = command_runner
         self.options = command_runner.options
         self.record_handler = record_handler
         self.writers = writers
         self.lane = lane
+        self.stats = stats
 
     # -- main loop ------------------------------------------------------------
 
@@ -1038,12 +1150,12 @@ class TurboTrimRunner(_TurboRunnerBase):
                         )
                         inflight.append(self.lane.submit(chunk, sub))
                         while len(inflight) >= self.DEPTH:
-                            self._resolve(inflight.popleft(), out)
+                            self._resolve(inflight.popleft())
                 chunk_index += 1
         finally:
             stream.close()
         while inflight:
-            self._resolve(inflight.popleft(), out)
+            self._resolve(inflight.popleft())
 
         self._update_counts(total_records, (total_bp, 0))
         out.flush()
@@ -1052,27 +1164,49 @@ class TurboTrimRunner(_TurboRunnerBase):
 
     # -- resolve: windows -> filters -> formatter -----------------------------
 
-    def _resolve(self, tok, out):
+    def _resolve(self, tok):
         keep_start, keep_stop, matched = self.lane.resolve_windows(tok)
         final_len = keep_stop - keep_start
 
         # filters, in registration order (first match wins)
         dest_none = np.ones(tok.batch, bool)
+        dest_masks = []
         for ftype, wrapper in self.record_handler.filters.filters.items():
             hit = dest_none & self.lane.criterion_hits(
                 ftype, wrapper, tok, keep_start, keep_stop, matched
             )
             wrapper.filtered += int(hit.sum())
             dest_none &= ~hit
+            dest_masks.append((ftype, hit))
 
         keep = dest_none
-        formatter = self.record_handler.formatters.seq_formatters.get(NoFilter)
-        self.record_handler.formatters.discarded += int((~keep).sum())
-        if formatter is not None:
-            formatter.written += int(keep.sum())
-            formatter.read1_bp += int(final_len[keep].sum())
-            out.write(
-                _format_records(tok.chunk, tok.sub, keep_start, keep_stop, keep)
+        if self.stats is not None:
+            self._collect_turbo_stats(
+                [(self.lane, tok, keep_start, keep_stop)],
+                dest_masks + [(NoFilter, keep)],
+            )
+        # per-destination routing: each dest with a formatter writes its
+        # rows to that formatter's file (several dests may share a file —
+        # the union mask preserves the scalar per-record byte order);
+        # dests without a formatter are discarded
+        formatters = self.record_handler.formatters
+        path_masks = {}
+        for ftype, mask in dest_masks + [(NoFilter, keep)]:
+            formatter = formatters.seq_formatters.get(ftype)
+            count = int(mask.sum())
+            if formatter is None:
+                formatters.discarded += count
+                continue
+            formatter.written += count
+            formatter.read1_bp += int(final_len[mask].sum())
+            if count:
+                prev = path_masks.get(formatter.file1)
+                path_masks[formatter.file1] = (
+                    mask if prev is None else (prev | mask)
+                )
+        for path, mask in path_masks.items():
+            self._open_output(path).write(
+                _format_records(tok.chunk, tok.sub, keep_start, keep_stop, mask)
             )
 
 
@@ -1091,6 +1225,11 @@ class TurboPairedRunner(_TurboRunnerBase):
         options = command_runner.options
         if not options.paired:
             return cls._decline("single-end input")
+        unwrapped = cls._unwrap_handler(record_handler)
+        if isinstance(unwrapped, str):
+            return cls._decline(unwrapped)
+        inner, stats = unwrapped
+        record_handler = inner
         reason = cls._check_common(command_runner, record_handler)
         if reason:
             return cls._decline(reason)
@@ -1110,12 +1249,9 @@ class TurboPairedRunner(_TurboRunnerBase):
             and cls._fastq_path(options.paired_output)
         ):
             return cls._decline("non-FASTQ/stdout/demultiplexed output")
-        if (
-            options.untrimmed_paired_output
-            or options.too_short_paired_output
-            or options.too_long_paired_output
-        ):
-            return cls._decline("paired side-channel outputs")
+        reason = cls._check_formatters(record_handler.formatters)
+        if reason:
+            return cls._decline(reason)
 
         mods1, mods2 = [], []
         for entry in record_handler.modifiers.modifiers:
@@ -1134,15 +1270,19 @@ class TurboPairedRunner(_TurboRunnerBase):
         lane2 = _MateLane.from_modifier_list(mods2)
         if isinstance(lane2, str):
             return cls._decline(lane2)
-        return cls(command_runner, record_handler, writers, lane1, lane2)
+        return cls(
+            command_runner, record_handler, writers, lane1, lane2, stats
+        )
 
-    def __init__(self, command_runner, record_handler, writers, lane1, lane2):
+    def __init__(self, command_runner, record_handler, writers, lane1, lane2,
+                 stats=None):
         self.command_runner = command_runner
         self.options = command_runner.options
         self.record_handler = record_handler
         self.writers = writers
         self.lane1 = lane1
         self.lane2 = lane2
+        self.stats = stats
 
     # -- main loop ------------------------------------------------------------
 
@@ -1197,14 +1337,14 @@ class TurboPairedRunner(_TurboRunnerBase):
                     )
                     while len(inflight) >= self.DEPTH:
                         tok1, tok2 = inflight.popleft()
-                        self._resolve_pair(tok1, tok2, out1, out2)
+                        self._resolve_pair(tok1, tok2)
                 batch_index += 1
         finally:
             s1.close()
             s2.close()
         while inflight:
             tok1, tok2 = inflight.popleft()
-            self._resolve_pair(tok1, tok2, out1, out2)
+            self._resolve_pair(tok1, tok2)
 
         self._update_counts(total_pairs, (bp1, bp2))
         out1.flush()
@@ -1273,7 +1413,7 @@ class TurboPairedRunner(_TurboRunnerBase):
                 "does not match '{1}' in file 2.".format(name1, name2)
             )
 
-    def _resolve_pair(self, tok1, tok2, out1, out2):
+    def _resolve_pair(self, tok1, tok2):
         self._check_pair_names(tok1, tok2)
         ks1, kp1, matched1 = self.lane1.resolve_windows(tok1)
         ks2, kp2, matched2 = self.lane2.resolve_windows(tok2)
@@ -1285,6 +1425,7 @@ class TurboPairedRunner(_TurboRunnerBase):
         # (1 = any, 2 = both); legacy 'first' mode wraps SingleWrapper,
         # which only inspects read1.
         dest_none = np.ones(tok1.batch, bool)
+        dest_masks = []
         for ftype, wrapper in self.record_handler.filters.filters.items():
             c1 = self.lane1.criterion_hits(
                 ftype, wrapper, tok1, ks1, kp1, matched1
@@ -1299,14 +1440,47 @@ class TurboPairedRunner(_TurboRunnerBase):
             hit = dest_none & hit
             wrapper.filtered += int(hit.sum())
             dest_none &= ~hit
+            dest_masks.append((ftype, hit))
 
         keep = dest_none
+        if self.stats is not None:
+            self._collect_turbo_stats(
+                [
+                    (self.lane1, tok1, ks1, kp1),
+                    (self.lane2, tok2, ks2, kp2),
+                ],
+                dest_masks + [(NoFilter, keep)],
+            )
+        # per-destination routing (see the SE driver): dests with a
+        # SingleEndFormatter write mate1 only — the scalar semantics when
+        # a side output was given without its paired counterpart
         formatters = self.record_handler.formatters
-        formatter = formatters.seq_formatters.get(NoFilter)
-        formatters.discarded += int((~keep).sum())
-        if formatter is not None:
-            formatter.written += int(keep.sum())
-            formatter.read1_bp += int(len1[keep].sum())
-            formatter.read2_bp += int(len2[keep].sum())
-            out1.write(_format_records(tok1.chunk, tok1.sub, ks1, kp1, keep))
-            out2.write(_format_records(tok2.chunk, tok2.sub, ks2, kp2, keep))
+        masks1 = {}
+        masks2 = {}
+        for ftype, mask in dest_masks + [(NoFilter, keep)]:
+            formatter = formatters.seq_formatters.get(ftype)
+            count = int(mask.sum())
+            if formatter is None:
+                formatters.discarded += count
+                continue
+            formatter.written += count
+            formatter.read1_bp += int(len1[mask].sum())
+            file2 = getattr(formatter, "file2", None)
+            if file2 is not None:
+                formatter.read2_bp += int(len2[mask].sum())
+            if count:
+                prev = masks1.get(formatter.file1)
+                masks1[formatter.file1] = (
+                    mask if prev is None else (prev | mask)
+                )
+                if file2 is not None:
+                    prev2 = masks2.get(file2)
+                    masks2[file2] = mask if prev2 is None else (prev2 | mask)
+        for path, mask in masks1.items():
+            self._open_output(path).write(
+                _format_records(tok1.chunk, tok1.sub, ks1, kp1, mask)
+            )
+        for path, mask in masks2.items():
+            self._open_output(path).write(
+                _format_records(tok2.chunk, tok2.sub, ks2, kp2, mask)
+            )

@@ -76,6 +76,10 @@ CONFIGS = [
     ["-g", "anch=^ACGTACGTAA", "--no-indels"],
     ["-a", "sufx=TTAGACATATCTCCGTCG$", "--no-indels"],
     ["-g", "anch=^ACGTACGTAA", "-a", AD, "--no-indels", "-q", "20"],
+    # pre/post read statistics from the gathered matrices
+    ["-a", AD, "--stats", "both", "-q", "20", "-m", "14"],
+    ["-a", AD, "--stats", "pre"],
+    ["-a", AD, "--stats", "post", "--discard-untrimmed"],
 ]
 
 
@@ -106,6 +110,9 @@ def test_turbo_matches_scalar(tmp_path, config):
         assert trim_t["formatters"] == trim_s["formatters"]
         assert trim_t["filters"] == trim_s["filters"]
         assert trim_t["modifiers"] == trim_s["modifiers"]
+        # pre/post read statistics (when --stats requested) must agree
+        for stats_key in ("pre", "post"):
+            assert trim_t.get(stats_key) == trim_s.get(stats_key), stats_key
 
 
 def test_turbo_small_fixture(tmp_path):
@@ -260,6 +267,9 @@ PE_CONFIGS = [
      "0.1"],
     # legacy 'first' pairing mode: only read1 is modified
     ["-a", AD],
+    # pre/post read statistics, paired
+    ["-a", AD, "-A", AD2, "--aligner", "adapter", "--stats", "both",
+     "-q", "20", "-m", "14"],
 ]
 
 
@@ -294,6 +304,8 @@ def test_turbo_paired_matches_scalar(tmp_path, config):
         assert trim_t["formatters"] == trim_s["formatters"]
         assert trim_t["filters"] == trim_s["filters"]
         assert trim_t["modifiers"] == trim_s["modifiers"]
+        for stats_key in ("pre", "post"):
+            assert trim_t.get(stats_key) == trim_s.get(stats_key), stats_key
 
 
 def test_turbo_paired_name_mismatch(tmp_path):
@@ -341,3 +353,74 @@ def test_turbo_paired_length_mismatch(tmp_path):
         os.environ.pop("ATROPOS_TPU_ENGINE", None)
     assert retcode != 0
     assert "more reads in file" in str(summary.get("exception"))
+
+
+def test_turbo_side_outputs(tmp_path):
+    """untrimmed/too-short/too-long output files through turbo are
+    byte-identical to the scalar pipeline's."""
+    infile = _write_synthetic(str(tmp_path / "in.fastq"))
+    names = ("out", "short", "long", "untr")
+    files = {}
+    for turbo in (False, True):
+        tag = "t" if turbo else "s"
+        files[tag] = {
+            name: str(tmp_path / "{}-{}.fastq".format(name, tag))
+            for name in names
+        }
+        config = [
+            "-a", AD, "-q", "20", "-m", "30", "-M", "90",
+            "--too-short-output", files[tag]["short"],
+            "--too-long-output", files[tag]["long"],
+            "--untrimmed-output", files[tag]["untr"],
+        ]
+        out, _, summary = _run(
+            tmp_path, config, infile, "side-" + tag, turbo=turbo
+        )
+        import shutil
+
+        shutil.move(out, files[tag]["out"])
+        if turbo:
+            assert summary.get("mode") == "turbo", "turbo path not taken"
+    import os
+
+    for name in names:
+        scalar_file, turbo_file = files["s"][name], files["t"][name]
+        data_s = open(scalar_file).read() if os.path.exists(scalar_file) else None
+        data_t = open(turbo_file).read() if os.path.exists(turbo_file) else None
+        assert data_t == data_s, name
+
+
+def test_turbo_paired_side_outputs(tmp_path):
+    """Paired side outputs (both mates) through turbo match scalar."""
+    in1, in2 = _write_synthetic_pair(tmp_path)
+    names = ("o1", "o2", "s1", "s2", "u1", "u2")
+    files = {}
+    for turbo in (False, True):
+        tag = "t" if turbo else "s"
+        files[tag] = {
+            name: str(tmp_path / "{}-{}.fastq".format(name, tag))
+            for name in names
+        }
+        config = [
+            "-a", AD, "-A", AD2, "--aligner", "adapter", "-m", "30",
+            "--too-short-output", files[tag]["s1"],
+            "--too-short-paired-output", files[tag]["s2"],
+            "--untrimmed-output", files[tag]["u1"],
+            "--untrimmed-paired-output", files[tag]["u2"],
+        ]
+        o1, o2, _, summary = _run_paired(
+            tmp_path, config, in1, in2, "side-" + tag, turbo=turbo
+        )
+        import shutil
+
+        shutil.move(o1, files[tag]["o1"])
+        shutil.move(o2, files[tag]["o2"])
+        if turbo:
+            assert summary.get("mode") == "turbo", "turbo path not taken"
+    import os
+
+    for name in names:
+        scalar_file, turbo_file = files["s"][name], files["t"][name]
+        data_s = open(scalar_file).read() if os.path.exists(scalar_file) else None
+        data_t = open(turbo_file).read() if os.path.exists(turbo_file) else None
+        assert data_t == data_s, name
