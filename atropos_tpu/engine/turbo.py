@@ -90,6 +90,27 @@ def _env_int(name, default):
         return default
 
 
+def _pack_info(chunk):
+    """Bit-packed upload parameters for a chunk's sequences.
+
+    The dev-tunnel/PCIe link is the end-to-end bottleneck (see PERF.md),
+    so sequence bytes cross it packed: chunks whose sequence alphabet has
+    <= 4 distinct byte values (plain ACGT data) pack 4 bases/byte, <= 16
+    values (ACGTN + lowercase) pack 2 bases/byte. Returns (bits, code_lut,
+    symbols) or None for raw upload (>16 distinct symbols, or disabled via
+    ``ATROPOS_TPU_PACK=0``).
+    """
+    if os.environ.get("ATROPOS_TPU_PACK", "1") in ("0", "false", "no"):
+        return None
+    symbols = chunk.alphabet
+    if symbols.size > 16:
+        return None
+    bits = 2 if symbols.size <= 4 else 4
+    code_lut = np.zeros(256, np.uint8)
+    code_lut[symbols] = np.arange(symbols.size, dtype=np.uint8)
+    return bits, code_lut, symbols
+
+
 class _Inflight:
     """One submitted batch: the device bundle plus the host context needed
     to resolve it (kept alive until resolution)."""
@@ -214,6 +235,31 @@ class _MateLane:
         self._has_max_rmp = any(
             adapter.max_rmp is not None for adapter in self.adapters
         )
+        # device views for bit-packed uploads: with <= 16 distinct input
+        # symbols, per-adapter wildcard translation and uppercasing
+        # collapse into small code->ASCII DECODE tables applied on device,
+        # so no translated matrices ever cross the link. _aligner_view[i]
+        # is the view index for device aligner i; the identity view feeds
+        # the NextSeq kernel (it inspects real sequence bytes).
+        self._view_luts = []
+
+        def _add_view(lut256):
+            for view_idx, existing in enumerate(self._view_luts):
+                if np.array_equal(existing, lut256):
+                    return view_idx
+            self._view_luts.append(lut256)
+            return len(self._view_luts) - 1
+
+        self._identity_view = (
+            _add_view(np.arange(256, dtype=np.uint8))
+            if nextseq is not None
+            else None
+        )
+        upper_lut = _upper(np.arange(256, dtype=np.uint8))
+        self._aligner_view = [
+            _add_view(upper_lut if lut is None else lut[upper_lut])
+            for lut in self._luts
+        ]
 
     @classmethod
     def from_modifier_list(cls, mods):
@@ -269,14 +315,74 @@ class _MateLane:
 
     # -- device step builder --------------------------------------------------
 
+    @staticmethod
+    def _stats_rows(jax, jnp, rows, n_aligners, win_len):
+        """Sharded-mode collective statistics: the per-shard match count
+        and window-bp reduce across the mesh with psum — the device image
+        of the reference's merge_dicts summary algebra. The resolver
+        cross-checks them against the host-derived values. Values are
+        split hi/lo so they survive the int16 bundle (lanes 0..3 of the
+        extra row)."""
+        from atropos_tpu.parallel import READS_AXIS
+
+        found_any = jnp.zeros(win_len.shape, bool)
+        for block in rows[:n_aligners]:
+            found_any = found_any | (block[0, :] > 0)
+        found_any = found_any & (win_len > 0)
+        matched = jax.lax.psum(
+            jnp.sum(found_any.astype(jnp.int32)), READS_AXIS
+        )
+        win_bp = jax.lax.psum(jnp.sum(jnp.maximum(win_len, 0)), READS_AXIS)
+        vals = jnp.stack(
+            [matched >> 15, matched & 32767, win_bp >> 15, win_bp & 32767]
+        )
+        stats_row = jnp.zeros((1, win_len.shape[0]), jnp.int32)
+        return jnp.concatenate([vals[None, :], stats_row[:, 4:]], axis=1)
+
+    @staticmethod
+    def _finish_bundle(jnp, rows, win_len):
+        """Concatenate bundle rows and narrow to int16 for the D2H fetch
+        (every observable value fits: coordinates/matches are bounded by
+        the batch width, costs by k when found — unfound costs may exceed
+        the range but are never read)."""
+        if not rows:
+            rows = [win_len[None, :]]
+        bundle = jnp.concatenate(rows, axis=0)
+        return jnp.clip(bundle, -32768, 32767).astype(jnp.int16)
+
+    def _aligner_rows(self, jnp, aligner, mat, win_len, reads_T_cache, key):
+        """One adapter's 7 result rows from its DP kernel."""
+        from atropos_tpu.align.pallas_kernel import PallasAligner
+
+        L_pad = max(8, mat.shape[1])
+        if isinstance(aligner, PallasAligner):
+            if key not in reads_T_cache:
+                reads_T_cache[key] = jnp.pad(
+                    mat, ((0, 0), (0, L_pad - mat.shape[1]))
+                ).T
+            out = aligner.locate_device(reads_T_cache[key], win_len[None, :])
+            return out[:7, :]
+        out = aligner.locate_device(mat, win_len)
+        return jnp.stack(
+            [
+                out["found"].astype(jnp.int32),
+                out["start1"],
+                out["stop1"],
+                out["start2"],
+                out["stop2"],
+                out["matches"],
+                out["cost"],
+            ]
+        )
+
     def _get_astep(self, width, pad_b, n_extra):
-        """Jitted device graph for one batch shape: quality/NextSeq kernels
-        (unless the 5'-cutoff sync path already ran them), device-side
-        uppercase + pad + transpose, every adapter's DP kernel, one
-        concatenated int32 bundle out.
+        """Jitted device graph for one RAW-upload batch shape (fallback
+        when the chunk alphabet exceeds 16 symbols): device-side uppercase
+        + pad + transpose, every adapter's DP kernel, one concatenated
+        int16 bundle out.
 
         Bundle rows: [7 per adapter: found,start1,stop1,start2,stop2,
-        matches,cost] + [win_len] + n_extra quality rows.
+        matches,cost] + n_extra quality rows (+ sharded stats row).
         """
         key = (width, pad_b, n_extra)
         if key in self._asteps:
@@ -285,13 +391,11 @@ class _MateLane:
         import jax
         import jax.numpy as jnp
 
-        from atropos_tpu.align.pallas_kernel import PallasAligner
         from atropos_tpu.parallel import data_parallel_mesh
 
         mesh = data_parallel_mesh()
         aligners = self._aligners
         luts = self._luts
-        L_pad = max(8, width)
 
         def step(seqs, win_len, extras, *translated):
             # seqs: [pad_b, width] uint8 raw; win_len: [pad_b] int32;
@@ -299,7 +403,7 @@ class _MateLane:
             # adapter pre-translated uppercase matrices [pad_b, width]
             rows = []
             upper = None
-            reads_T = None
+            reads_T = {}
             t_iter = iter(translated)
             for idx, aligner in enumerate(aligners):
                 if luts[idx] is None:
@@ -307,66 +411,22 @@ class _MateLane:
                         low = (seqs >= 97) & (seqs <= 122)
                         upper = seqs - low.astype(jnp.uint8) * 32
                     mat = upper
+                    cache_key = "upper"
                 else:
                     mat = next(t_iter)
-                if isinstance(aligner, PallasAligner):
-                    if luts[idx] is None:
-                        if reads_T is None:
-                            reads_T = jnp.pad(
-                                mat, ((0, 0), (0, L_pad - width))
-                            ).T
-                        r_t = reads_T
-                    else:
-                        r_t = jnp.pad(mat, ((0, 0), (0, L_pad - width))).T
-                    out = aligner.locate_device(r_t, win_len[None, :])
-                    rows.append(out[:7, :])
-                else:
-                    out = aligner.locate_device(mat, win_len)
-                    rows.append(
-                        jnp.stack(
-                            [
-                                out["found"].astype(jnp.int32),
-                                out["start1"],
-                                out["stop1"],
-                                out["start2"],
-                                out["stop2"],
-                                out["matches"],
-                                out["cost"],
-                            ]
-                        )
+                    cache_key = ("tr", idx)
+                rows.append(
+                    self._aligner_rows(
+                        jnp, aligner, mat, win_len, reads_T, cache_key
                     )
-            rows.append(win_len[None, :])
+                )
             if n_extra:
                 rows.append(extras)
             if sharded:
-                # product-path collective statistics: the per-shard match
-                # count and window-bp reduce across the mesh with psum —
-                # the device image of the reference's merge_dicts summary
-                # algebra. The resolver cross-checks them against the
-                # host-derived values (lanes 0/1 of the extra row).
-                from atropos_tpu.parallel import READS_AXIS
-
-                found_any = jnp.zeros(win_len.shape, bool)
-                for block in rows[: len(aligners)]:
-                    found_any = found_any | (block[0, :] > 0)
-                found_any = found_any & (win_len > 0)
-                matched = jax.lax.psum(
-                    jnp.sum(found_any.astype(jnp.int32)), READS_AXIS
+                rows.append(
+                    self._stats_rows(jax, jnp, rows, len(aligners), win_len)
                 )
-                win_bp = jax.lax.psum(
-                    jnp.sum(jnp.maximum(win_len, 0)), READS_AXIS
-                )
-                stats_row = jnp.zeros((1, win_len.shape[0]), jnp.int32)
-                stats_row = jnp.concatenate(
-                    [
-                        matched[None, None],
-                        win_bp[None, None],
-                        stats_row[:, 2:],
-                    ],
-                    axis=1,
-                )
-                rows.append(stats_row)
-            return jnp.concatenate(rows, axis=0)
+            return self._finish_bundle(jnp, rows, win_len)
 
         sharded = mesh is not None and mesh.devices.size > 1
         if sharded:
@@ -382,6 +442,115 @@ class _MateLane:
                 P(READS_AXIS),         # win_len
                 P(None, READS_AXIS),   # extras
             ) + (P(READS_AXIS, None),) * n_tr
+            step = _shard_map(
+                step, mesh, in_specs=in_specs, out_specs=P(None, READS_AXIS)
+            )
+            self._sharded = True
+
+        self._asteps[key] = jax.jit(step)
+        return self._asteps[key]
+
+    def _get_packed_step(self, width, pad_b, bits, quals_in):
+        """Jitted device graph for one BIT-PACKED batch shape: unpack the
+        2/4-bit codes, decode per-adapter translated views via the small
+        code->ASCII tables, optionally run the NextSeq/quality kernels
+        in-graph, then every adapter's DP kernel. One int16 bundle out
+        (same row layout as :meth:`_get_astep`; quality rows are computed
+        in-step when ``quals_in``)."""
+        key = (width, pad_b, bits, quals_in)
+        if key in self._asteps:
+            return self._asteps[key]
+
+        import jax
+        import jax.numpy as jnp
+
+        from atropos_tpu.align.batched import (
+            nextseq_trim_batch,
+            quality_trim_batch,
+        )
+        from atropos_tpu.parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+        aligners = self._aligners
+        aligner_view = self._aligner_view
+        identity_view = self._identity_view
+        nextseq = self.nextseq
+        quality = self.quality
+        n_codes = 1 << bits
+
+        def step(*args):
+            if quals_in:
+                packed, win16, quals, tables = args
+            else:
+                packed, win16, tables = args
+                quals = None
+            p = packed.astype(jnp.int32)
+            if bits == 2:
+                parts = [(p >> s) & 3 for s in (0, 2, 4, 6)]
+            else:
+                parts = [p & 15, (p >> 4) & 15]
+            codes = jnp.stack(parts, axis=-1).reshape(p.shape[0], width)
+
+            views = {}
+
+            def view(view_idx):
+                # one-hot decode (tiny-table gathers with per-read indices
+                # compile pathologically on some TPU backends)
+                if view_idx not in views:
+                    table = tables[view_idx]
+                    acc = jnp.zeros(codes.shape, jnp.int32)
+                    for code in range(n_codes):
+                        acc = acc + jnp.where(codes == code, table[code], 0)
+                    views[view_idx] = acc
+                return views[view_idx]
+
+            win_len = win16.astype(jnp.int32)
+            extras = []
+            if quals_in:
+                if nextseq is not None:
+                    g_stop = nextseq_trim_batch(
+                        view(identity_view), quals, win_len,
+                        nextseq.cutoff, nextseq.base,
+                    )
+                    extras.append(g_stop)
+                    win_len = jnp.where(win_len > 0, g_stop, win_len)
+                if quality is not None:
+                    q_start, q_stop = quality_trim_batch(
+                        quals, win_len, quality.cutoff_front,
+                        quality.cutoff_back, quality.base,
+                    )
+                    extras.extend([q_start, q_stop])
+                    win_len = jnp.where(
+                        win_len > 0, q_stop - q_start, win_len
+                    )
+
+            rows = []
+            reads_T = {}
+            for idx, aligner in enumerate(aligners):
+                rows.append(
+                    self._aligner_rows(
+                        jnp, aligner, view(aligner_view[idx]), win_len,
+                        reads_T, aligner_view[idx],
+                    )
+                )
+            for extra in extras:
+                rows.append(extra[None, :].astype(jnp.int32))
+            if sharded:
+                rows.append(
+                    self._stats_rows(jax, jnp, rows, len(aligners), win_len)
+                )
+            return self._finish_bundle(jnp, rows, win_len)
+
+        sharded = mesh is not None and mesh.devices.size > 1
+        if sharded:
+            from jax.sharding import PartitionSpec as P
+
+            from atropos_tpu.parallel import READS_AXIS, _shard_map
+
+            in_specs = (P(READS_AXIS, None), P(READS_AXIS))
+            if quals_in:
+                in_specs = in_specs + (P(READS_AXIS, None),)
+            in_specs = in_specs + (P(None, None),)  # decode tables
             step = _shard_map(
                 step, mesh, in_specs=in_specs, out_specs=P(None, READS_AXIS)
             )
@@ -413,6 +582,20 @@ class _MateLane:
             size *= 2
         return size
 
+    def _mesh_is_sharded(self):
+        from atropos_tpu.parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+        return mesh is not None and mesh.devices.size > 1
+
+    def _decode_tables(self, symbols, n_codes):
+        """[n_views, n_codes] int32 code->ASCII decode tables for this
+        chunk's symbol set (one row per device view)."""
+        tables = np.zeros((max(1, len(self._view_luts)), n_codes), np.int32)
+        for view_idx, lut in enumerate(self._view_luts):
+            tables[view_idx, : symbols.size] = lut[symbols]
+        return tables
+
     def submit(self, chunk, sub):
         import jax.numpy as jnp
 
@@ -443,94 +626,127 @@ class _MateLane:
         width = max(8, -(-width // 32) * 32)
         pad_b = self._pad_batch(batch)
 
-        # window matrices gathered once at the fixed-cut offset
+        # host-side window matrix at the fixed-cut offset (feeds the
+        # anchored matchers, adapter statistics and N-counting; never
+        # uploaded when packing is active)
         seqs = self._gather(chunk, sub, chunk.seq_off, keep_start, width, pad_b)
         win_len = keep_stop - keep_start
         host_q = {}
-        extras = []
+        quals_in = self._needs_quals
 
-        d_seqs = None
-        if self._needs_quals:
+        if self._sync_quality:
+            # 5' quality cutoff moves the window start: run the quality
+            # kernels now (synchronous raw upload), apply windows + stats,
+            # and re-gather for the adapter stage
             quals = self._gather(
                 chunk, sub, chunk.qual_off, keep_start, width, pad_b
             )
             win_dev = jnp.asarray(np.pad(win_len, (0, pad_b - batch)))
-            d_seqs = jnp.asarray(seqs)
             d_quals = jnp.asarray(quals)
+            extras = []
             if self.nextseq is not None:
                 g_stop = nextseq_trim_batch(
-                    d_seqs, d_quals, win_dev, self.nextseq.cutoff,
-                    self.nextseq.base,
+                    jnp.asarray(seqs), d_quals, win_dev,
+                    self.nextseq.cutoff, self.nextseq.base,
                 )
                 extras.append(g_stop)
                 win_dev = jnp.where(win_dev > 0, g_stop, win_dev)
-            if self.quality is not None:
-                q_start, q_stop = quality_trim_batch(
-                    d_quals,
-                    win_dev,
-                    self.quality.cutoff_front,
-                    self.quality.cutoff_back,
-                    self.quality.base,
-                )
-                extras.extend([q_start, q_stop])
-                win_dev = jnp.where(
-                    win_dev > 0, q_stop - q_start, win_dev
-                )
-            if self._sync_quality:
-                # 5' quality cutoff moves the window start: fetch the
-                # quality results now (synchronous), apply windows + stats
-                # here, and re-gather for the adapter stage
-                fetched = [np.asarray(x)[:batch] for x in extras]
-                cursor = 0
-                wl = keep_stop - keep_start
-                if self.nextseq is not None:
-                    g = fetched[cursor]
-                    cursor += 1
-                    nz = wl > 0
-                    new_stop = keep_start + g
-                    self.nextseq.trimmed_bases += int(
-                        (keep_stop - new_stop)[nz].sum()
-                    )
-                    keep_stop = np.where(nz, new_stop, keep_stop)
-                    wl = keep_stop - keep_start
-                qs, qp = fetched[cursor], fetched[cursor + 1]
+            q_start, q_stop = quality_trim_batch(
+                d_quals, win_dev, self.quality.cutoff_front,
+                self.quality.cutoff_back, self.quality.base,
+            )
+            extras.extend([q_start, q_stop])
+            fetched = [np.asarray(x)[:batch] for x in extras]
+            cursor = 0
+            wl = keep_stop - keep_start
+            if self.nextseq is not None:
+                g = fetched[cursor]
+                cursor += 1
                 nz = wl > 0
-                origin = keep_start
-                self.quality.trimmed_bases += int(
-                    (wl - (qp - qs))[nz].sum()
+                new_stop = keep_start + g
+                self.nextseq.trimmed_bases += int(
+                    (keep_stop - new_stop)[nz].sum()
                 )
-                keep_start = np.where(nz, origin + qs, keep_start)
-                keep_stop = np.where(nz, origin + qp, keep_stop)
-                win_len = keep_stop - keep_start
-                seqs = self._gather(
-                    chunk, sub, chunk.seq_off, keep_start, width, pad_b
+                keep_stop = np.where(nz, new_stop, keep_stop)
+                wl = keep_stop - keep_start
+            qs, qp = fetched[cursor], fetched[cursor + 1]
+            nz = wl > 0
+            origin = keep_start
+            self.quality.trimmed_bases += int((wl - (qp - qs))[nz].sum())
+            keep_start = np.where(nz, origin + qs, keep_start)
+            keep_stop = np.where(nz, origin + qp, keep_stop)
+            win_len = keep_stop - keep_start
+            seqs = self._gather(
+                chunk, sub, chunk.seq_off, keep_start, width, pad_b
+            )
+            host_q = {"applied": True}
+            quals_in = False
+
+        pack = _pack_info(chunk)
+        sharded = self._mesh_is_sharded()
+        bundle = None
+        if self._aligners or quals_in or sharded:
+            win_pad = np.zeros(pad_b, np.int16)
+            win_pad[:batch] = win_len
+            if pack is not None:
+                bits, code_lut, symbols = pack
+                packed = self._gather_packed(
+                    chunk, sub, keep_start, width, pad_b, code_lut, bits
                 )
-                win_dev = jnp.asarray(np.pad(win_len, (0, pad_b - batch)))
+                args = [jnp.asarray(packed), jnp.asarray(win_pad)]
+                if quals_in:
+                    quals = self._gather(
+                        chunk, sub, chunk.qual_off, keep_start, width, pad_b
+                    )
+                    args.append(jnp.asarray(quals))
+                args.append(
+                    jnp.asarray(self._decode_tables(symbols, 1 << bits))
+                )
+                step = self._get_packed_step(width, pad_b, bits, quals_in)
+                bundle = step(*args)
+            else:
+                # raw fallback (> 16 distinct symbols): quality kernels
+                # run ahead of the astep, translated matrices uploaded
                 extras = []
-                host_q = {"applied": True}
-                d_seqs = None
-        else:
-            win_dev = jnp.asarray(np.pad(win_len, (0, pad_b - batch)))
+                d_seqs = jnp.asarray(seqs)
+                win_dev = jnp.asarray(win_pad.astype(np.int32))
+                if quals_in:
+                    quals = self._gather(
+                        chunk, sub, chunk.qual_off, keep_start, width, pad_b
+                    )
+                    d_quals = jnp.asarray(quals)
+                    if self.nextseq is not None:
+                        g_stop = nextseq_trim_batch(
+                            d_seqs, d_quals, win_dev, self.nextseq.cutoff,
+                            self.nextseq.base,
+                        )
+                        extras.append(g_stop)
+                        win_dev = jnp.where(win_dev > 0, g_stop, win_dev)
+                    if self.quality is not None:
+                        q_start, q_stop = quality_trim_batch(
+                            d_quals, win_dev, self.quality.cutoff_front,
+                            self.quality.cutoff_back, self.quality.base,
+                        )
+                        extras.extend([q_start, q_stop])
+                        win_dev = jnp.where(
+                            win_dev > 0, q_stop - q_start, win_dev
+                        )
+                extras_arr = (
+                    jnp.stack(extras).astype(jnp.int32)
+                    if extras
+                    else jnp.zeros((0, pad_b), jnp.int32)
+                )
+                translated = [
+                    jnp.asarray(lut[_upper(seqs)])
+                    for lut in self._luts
+                    if lut is not None
+                ]
+                step = self._get_astep(width, pad_b, len(extras))
+                bundle = step(d_seqs, win_dev, extras_arr, *translated)
+            if self._sharded:
+                from atropos_tpu.parallel import SHARD_COUNTS
 
-        if d_seqs is None:
-            d_seqs = jnp.asarray(seqs)
-        n_extra = len(extras)
-        extras_arr = (
-            jnp.stack(extras).astype(jnp.int32)
-            if extras
-            else jnp.zeros((0, pad_b), jnp.int32)
-        )
-        translated = []
-        for lut in self._luts:
-            if lut is not None:
-                translated.append(jnp.asarray(lut[_upper(seqs)]))
-
-        step = self._get_astep(width, pad_b, n_extra)
-        if self._sharded:
-            from atropos_tpu.parallel import SHARD_COUNTS
-
-            SHARD_COUNTS["sharded_calls"] += 1
-        bundle = step(d_seqs, win_dev, extras_arr, *translated)
+                SHARD_COUNTS["sharded_calls"] += 1
         return _Inflight(
             bundle=bundle,
             chunk=chunk,
@@ -549,13 +765,16 @@ class _MateLane:
     def resolve_windows(self, tok):
         """Fetch the device bundle and produce (keep_start, keep_stop,
         matched) for the batch, accumulating all modifier statistics."""
-        arr_full = np.asarray(tok.bundle)
+        if tok.bundle is None:
+            # nothing ran on device (no adapters/quality, unsharded)
+            return tok.keep_start, tok.keep_stop, np.zeros(tok.batch, bool)
+        arr_full = np.asarray(tok.bundle).astype(np.int32)
         arr = arr_full[:, : tok.batch]
         batch = tok.batch
         keep_start = tok.keep_start
         keep_stop = tok.keep_stop
         n_adapt = len(self._aligners)
-        cursor = 7 * n_adapt + 1
+        cursor = 7 * n_adapt
 
         if tok.host_q:
             # sync 5'-cutoff path: quality windows and their stats were
@@ -651,8 +870,8 @@ class _MateLane:
             # statistics path executed and agrees with the product output
             from atropos_tpu.parallel import SHARD_COUNTS
 
-            psum_matched = int(arr_full[-1, 0])
-            psum_bp = int(arr_full[-1, 1])
+            psum_matched = (int(arr_full[-1, 0]) << 15) + int(arr_full[-1, 1])
+            psum_bp = (int(arr_full[-1, 2]) << 15) + int(arr_full[-1, 3])
             SHARD_COUNTS["psum_counter_checks"] += 1
             # host-side gates (max_rmp, anchored-no-indel matchers) can
             # change `matched` after the device reduction; skip the strict
@@ -737,6 +956,26 @@ class _MateLane:
         _lib.gather_padded(
             _u8(chunk.buf), _i64(offs_sub), _i32(lens_sub),
             offs_sub.shape[0], width, _u8(out),
+        )
+        return out
+
+    def _gather_packed(
+        self, chunk, sub, extra_off, width, pad_b, code_lut, bits
+    ):
+        """Bit-packed gather of the (window-offset) sequences: [pad_b,
+        width*bits/8] uint8, codes little-endian within each byte."""
+        from atropos_tpu.runtime import _i32, _i64, _lib, _u8
+
+        offs_sub = np.ascontiguousarray(
+            chunk.seq_off[sub] + extra_off.astype(np.int64), dtype=np.int64
+        )
+        lens_sub = np.ascontiguousarray(
+            (chunk.seq_len[sub] - extra_off).astype(np.int32)
+        )
+        out = np.zeros((pad_b, width * bits // 8), dtype=np.uint8)
+        _lib.gather_packed(
+            _u8(chunk.buf), _i64(offs_sub), _i32(lens_sub),
+            offs_sub.shape[0], width, _u8(code_lut), bits, _u8(out),
         )
         return out
 
@@ -867,11 +1106,50 @@ def _format_records(chunk, sub, keep_start, keep_stop, keep):
     return out[:written].tobytes()
 
 
+class _AsyncWriter:
+    """Single background writer thread: output bytes are enqueued in
+    resolution order (one queue, one thread — per-file byte order is
+    preserved) so disk/compression time overlaps device compute and
+    link transfer. Write errors surface on the next enqueue or close."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=8)
+        self._exc = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self._exc is None:
+                handle, data = item
+                try:
+                    handle.write(data)
+                except BaseException as exc:  # propagate to the producer
+                    self._exc = exc
+
+    def write(self, handle, data):
+        if self._exc is not None:
+            raise self._exc
+        self._q.put((handle, data))
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+
+
 class _TurboRunnerBase:
     """Shared driver plumbing: eligibility helpers, output opening."""
 
     CHUNK_BYTES = 64 * 1024 * 1024
-    MAX_BATCH = _env_int("ATROPOS_TPU_TURBO_BATCH", 16384)
+    MAX_BATCH = _env_int("ATROPOS_TPU_TURBO_BATCH", 32768)
     DEPTH = _env_int("ATROPOS_TPU_TURBO_DEPTH", 3)
 
     @staticmethod
@@ -1136,6 +1414,7 @@ class TurboTrimRunner(_TurboRunnerBase):
         shard_count = getattr(self.command_runner, "shard_count", 1)
         chunk_index = 0
         stream = _ChunkStream(options.input1, self.CHUNK_BYTES)
+        self._writer = _AsyncWriter()
         try:
             while True:
                 chunk = stream.next_chunk()
@@ -1156,6 +1435,7 @@ class TurboTrimRunner(_TurboRunnerBase):
             stream.close()
         while inflight:
             self._resolve(inflight.popleft())
+        self._writer.close()
 
         self._update_counts(total_records, (total_bp, 0))
         out.flush()
@@ -1205,8 +1485,9 @@ class TurboTrimRunner(_TurboRunnerBase):
                     mask if prev is None else (prev | mask)
                 )
         for path, mask in path_masks.items():
-            self._open_output(path).write(
-                _format_records(tok.chunk, tok.sub, keep_start, keep_stop, mask)
+            self._writer.write(
+                self._open_output(path),
+                _format_records(tok.chunk, tok.sub, keep_start, keep_stop, mask),
             )
 
 
@@ -1300,6 +1581,7 @@ class TurboPairedRunner(_TurboRunnerBase):
         batch_index = 0
         s1 = _ChunkStream(options.input1, self.CHUNK_BYTES)
         s2 = _ChunkStream(options.input2, self.CHUNK_BYTES)
+        self._writer = _AsyncWriter()
         cur1 = cur2 = None
         pos1 = pos2 = 0
         try:
@@ -1345,6 +1627,7 @@ class TurboPairedRunner(_TurboRunnerBase):
         while inflight:
             tok1, tok2 = inflight.popleft()
             self._resolve_pair(tok1, tok2)
+        self._writer.close()
 
         self._update_counts(total_pairs, (bp1, bp2))
         out1.flush()
@@ -1477,10 +1760,12 @@ class TurboPairedRunner(_TurboRunnerBase):
                     prev2 = masks2.get(file2)
                     masks2[file2] = mask if prev2 is None else (prev2 | mask)
         for path, mask in masks1.items():
-            self._open_output(path).write(
-                _format_records(tok1.chunk, tok1.sub, ks1, kp1, mask)
+            self._writer.write(
+                self._open_output(path),
+                _format_records(tok1.chunk, tok1.sub, ks1, kp1, mask),
             )
         for path, mask in masks2.items():
-            self._open_output(path).write(
-                _format_records(tok2.chunk, tok2.sub, ks2, kp2, mask)
+            self._writer.write(
+                self._open_output(path),
+                _format_records(tok2.chunk, tok2.sub, ks2, kp2, mask),
             )

@@ -49,6 +49,13 @@ def _load():
     lib.gather_padded.argtypes = [
         u8p, i64p, i32p, ctypes.c_int64, ctypes.c_int64, u8p,
     ]
+    lib.scan_alphabet.restype = None
+    lib.scan_alphabet.argtypes = [u8p, i64p, i32p, ctypes.c_int64, u8p]
+    lib.gather_packed.restype = None
+    lib.gather_packed.argtypes = [
+        u8p, i64p, i32p, ctypes.c_int64, ctypes.c_int64,
+        u8p, ctypes.c_int64, u8p,
+    ]
     lib.fastq_format_trimmed.restype = ctypes.c_int64
     lib.fastq_format_trimmed.argtypes = [
         u8p,
@@ -85,18 +92,34 @@ class FastqChunk:
         "buf", "n", "consumed",
         "name_off", "name_len", "seq_off", "seq_len",
         "plus_off", "plus_len", "qual_off", "qual_len",
+        "_alphabet",
     )
 
     def __init__(self, buf, n, consumed, arrays):
         self.buf = buf
         self.n = n
         self.consumed = consumed
+        self._alphabet = None
         (
             self.name_off, self.name_len,
             self.seq_off, self.seq_len,
             self.plus_off, self.plus_len,
             self.qual_off, self.qual_len,
         ) = arrays
+
+    @property
+    def alphabet(self):
+        """Sorted array of distinct sequence byte values in this chunk
+        (computed once, native scan)."""
+        if self._alphabet is None:
+            present = np.zeros(256, np.uint8)
+            if self.n:
+                _lib.scan_alphabet(
+                    _u8(self.buf), _i64(self.seq_off), _i32(self.seq_len),
+                    self.n, _u8(present),
+                )
+            self._alphabet = np.nonzero(present)[0].astype(np.uint8)
+        return self._alphabet
 
     def padded_sequences(self, width=None):
         """Zero-padded [n, width] uint8 matrix of the sequences."""
@@ -174,8 +197,10 @@ def parse_chunk(buf, max_records=None):
         buf = np.frombuffer(buf, dtype=np.uint8)
     buf = np.ascontiguousarray(buf, dtype=np.uint8)
     if max_records is None:
-        # lower bound: each record needs >= 8 bytes ('@\nA\n+\nB\n')
-        max_records = max(16, buf.size // 8 + 1)
+        # exact bound from the newline count (4 lines per record); the
+        # byte scan is ~memory-bandwidth, far cheaper than allocating
+        # index arrays for the worst-case 8-bytes-per-record estimate
+        max_records = max(16, int(np.count_nonzero(buf == 10)) // 4 + 2)
     name_off = np.empty(max_records, np.int64)
     name_len = np.empty(max_records, np.int32)
     seq_off = np.empty(max_records, np.int64)

@@ -101,6 +101,69 @@ void gather_padded(
     }
 }
 
+// Presence bitmap of byte values over the given records' payload bytes.
+// out_present must be uint8[256]; existing nonzero entries are preserved
+// (callers can accumulate over several record ranges).
+void scan_alphabet(
+    const uint8_t* buf,
+    const int64_t* offs, const int32_t* lens,
+    int64_t n_records,
+    uint8_t* out_present)
+{
+    for (int64_t i = 0; i < n_records; ++i) {
+        const uint8_t* p = buf + offs[i];
+        int64_t l = lens[i];
+        for (int64_t j = 0; j < l; ++j) out_present[p[j]] = 1;
+    }
+}
+
+// Gather variable-length records into a bit-packed padded code matrix.
+//
+// code_lut maps byte -> small code (values < 2^bits); bits must be 2 or 4.
+// Each output row holds width codes packed little-endian within each byte
+// (code c at column j lands in byte j*bits/8, bit offset (j*bits)%8).
+// out must be [n_records * width*bits/8]; width*bits must be a multiple
+// of 8. Rows are zero-padded (code 0) past the record length.
+void gather_packed(
+    const uint8_t* buf,
+    const int64_t* offs, const int32_t* lens,
+    int64_t n_records, int64_t width,
+    const uint8_t* code_lut, int64_t bits,
+    uint8_t* out)
+{
+    const int64_t row_bytes = width * bits / 8;
+    const int64_t per_byte = 8 / bits;
+    for (int64_t i = 0; i < n_records; ++i) {
+        uint8_t* row = out + i * row_bytes;
+        const uint8_t* p = buf + offs[i];
+        int64_t l = lens[i];
+        if (l > width) l = width;
+        int64_t full = l / per_byte;
+        if (bits == 2) {
+            for (int64_t b = 0; b < full; ++b) {
+                const uint8_t* q = p + b * 4;
+                row[b] = (uint8_t)(code_lut[q[0]] | (code_lut[q[1]] << 2) |
+                                   (code_lut[q[2]] << 4) | (code_lut[q[3]] << 6));
+            }
+        } else {
+            for (int64_t b = 0; b < full; ++b) {
+                const uint8_t* q = p + b * 2;
+                row[b] = (uint8_t)(code_lut[q[0]] | (code_lut[q[1]] << 4));
+            }
+        }
+        int64_t done = full * per_byte;
+        if (done < l) {
+            uint8_t acc = 0;
+            for (int64_t j = done; j < l; ++j)
+                acc |= (uint8_t)(code_lut[p[j]] << ((j - done) * bits));
+            row[full] = acc;
+            full += 1;
+        }
+        if (full < row_bytes)
+            memset(row + full, 0, (size_t)(row_bytes - full));
+    }
+}
+
 // Assemble trimmed FASTQ output.
 //
 // For each record i with keep[i] != 0, writes:

@@ -305,9 +305,10 @@ def main():
                     end_to_end_reads_per_sec=round(e2e_rps, 1),
                     end_to_end_note=(
                         "full CLI turbo pipeline (parse->device->format->"
-                        "write); transfer-bound on the dev tunnel "
-                        "(~100B/read over a ~10-30MB/s link), kernel-bound "
-                        "on production PCIe hosts"
+                        "write); transfer-bound on the dev tunnel (~41B/read"
+                        " bit-packed over a fluctuating 15-40MB/s link — "
+                        "measured budget in PERF.md), kernel-bound on "
+                        "production PCIe hosts"
                     ),
                     pe_insert_pairs_per_sec=round(pe_pps, 1),
                     end_to_end_pe_pairs_per_sec=round(e2e_pe_pps, 1),
