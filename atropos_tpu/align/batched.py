@@ -818,9 +818,23 @@ class BatchInsertMatcher:
         )  # [W, B]
         return self.reconstruct(counts, refs_u8, reads_u8, lengths)
 
-    def reconstruct(self, counts, refs_u8, reads_u8, lengths):
-        """Host-side candidate-stream reconstruction from device match
-        counts (see class docstring for the derivation)."""
+    def candidate_arrays(self, counts, refs_u8, reads_u8, lengths):
+        """Fully-vectorized candidate-stream reconstruction (no per-pair
+        loop; see class docstring for the banding derivation).
+
+        Returns a dict of arrays describing the scalar kernel's candidate
+        stream for every pair at once:
+
+        - ``cand`` [W, B] bool: diagonal s emitted as a normal candidate
+          (coords (s, m_b, 0, m_b - s, counts[s], cost[s])), already
+          truncated by the exact-match collapse and the max_matches cap.
+        - ``rank`` [W, B] int: 0-based position of the candidate in the
+          scalar emission order (s descending).
+        - ``final_ok`` [B] bool / ``final_s`` [B] int: the final-column
+          re-record (coords (s_f, m_b, 0, m_b, counts[s_f], cost[s_f])),
+          emitted last when present.
+        - ``cost``/``size`` [W, B] int64 per-diagonal cost and overlap.
+        """
         B, W = reads_u8.shape
         err = self.max_error_rate
         min_overlap = self.min_overlap
@@ -859,36 +873,69 @@ class BatchInsertMatcher:
             & (cost.astype(np.float64) <= size * err)
         )
 
+        # emission order is s descending; rank = candidates before s
+        rec_i = rec.astype(np.int64)
+        rank = np.cumsum(rec_i[::-1], axis=0)[::-1] - rec_i
+        total = rec_i.sum(axis=0)
+        # exact-match collapse: diagonal 0 with zero cost, if reached
+        # before the cap, erases every earlier candidate
+        exact = rec[0] & (cost[0] == 0) & (rank[0] < max_matches)
+        kept = rec & (rank < max_matches)
+        cand = np.where(exact[None, :], (s_idx == 0) & rec, kept)
+        rank = np.where(exact[None, :], 0, rank)
+
+        # final-column re-record: only for pairs that neither collapsed
+        # nor hit the candidate cap
+        broke = exact | (total >= max_matches)
+        any_reach = reach.any(axis=0)
+        first_reach = np.argmax(reach, axis=0)  # min s with reach
+        s_f = np.where(any_reach, first_reach, np.maximum(m - 1, 0))
+        rows_b = np.arange(B)
+        cost_f = cost[s_f, rows_b]
+        size_f = size[s_f, rows_b]
+        final_ok = (
+            (~broke)
+            & (m > 0)
+            & (size_f >= min_overlap)
+            & (cost_f.astype(np.float64) <= size_f * err)
+        )
+        return dict(
+            cand=cand,
+            rank=rank,
+            n_cand=cand.sum(axis=0).astype(np.int64),
+            final_ok=final_ok,
+            final_s=s_f,
+            cost=cost,
+            size=size,
+        )
+
+    def reconstruct(self, counts, refs_u8, reads_u8, lengths):
+        """Scalar-format candidate lists (list-of-tuples per pair) built
+        from :meth:`candidate_arrays`; the array form is the hot path
+        (the turbo insert lane consumes it directly), this converter
+        exists for the per-record engine API."""
+        arrs = self.candidate_arrays(counts, refs_u8, reads_u8, lengths)
+        m = lengths.astype(np.int64)
+        B = m.shape[0]
+        ss, bs = np.nonzero(arrs["cand"])
+        # group candidates by pair, s descending
+        order = np.lexsort((-ss, bs))
+        ss, bs = ss[order], bs[order]
+        bounds = np.searchsorted(bs, np.arange(B + 1))
         results = []
         for b in range(B):
             m_b = int(m[b])
-            if m_b <= 0:
-                results.append(None)
-                continue
-            ss = np.nonzero(rec[:m_b, b])[0]
-            out = []
-            broke = False
-            for s in ss[::-1]:  # s descending == column order j ascending
-                s = int(s)
-                c = int(cost[s, b])
-                mt = int(counts[s, b])
-                out.append((s, m_b, 0, m_b - s, mt, c))
-                if s == 0 and c == 0 and mt == m_b:
-                    out = [out[-1]]  # exact-match collapse
-                    broke = True
-                    break
-                if len(out) >= max_matches:
-                    broke = True
-                    break
-            if not broke:
-                # final-column record: row m holds the last diagonal whose
-                # column reached it; re-recorded with query_stop = n
-                reach_b = np.nonzero(reach[:m_b, b])[0]
-                s_f = int(reach_b.min()) if reach_b.size else m_b - 1
-                c = int(cost[s_f, b])
-                sz = int(size[s_f, b])
-                if sz >= min_overlap and float(c) <= sz * err:
-                    out.append((s_f, m_b, 0, m_b, int(counts[s_f, b]), c))
+            out = [
+                (int(s), m_b, 0, m_b - int(s), int(counts[s, b]),
+                 int(arrs["cost"][s, b]))
+                for s in ss[bounds[b] : bounds[b + 1]]
+            ]
+            if arrs["final_ok"][b]:
+                s_f = int(arrs["final_s"][b])
+                out.append(
+                    (s_f, m_b, 0, m_b, int(counts[s_f, b]),
+                     int(arrs["cost"][s_f, b]))
+                )
             results.append(out or None)
         return results
 

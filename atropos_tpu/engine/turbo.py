@@ -62,6 +62,7 @@ from atropos_tpu.commands.trim.filters import (
 )
 from atropos_tpu.commands.trim.modifiers import (
     AdapterCutter,
+    InsertAdapterCutter,
     NextseqQualityTrimmer,
     QualityTrimmer,
     ReadPairModifier,
@@ -81,6 +82,34 @@ def _upper(arr):
         )
         _UPPER_LUT = lut
     return _UPPER_LUT[arr]
+
+
+_COMP_LUT256 = None
+
+
+def _complement_lut():
+    """Byte-indexed IUPAC complement table (identity for bytes outside
+    the map — util.complement semantics, byte for byte)."""
+    global _COMP_LUT256
+    if _COMP_LUT256 is None:
+        from atropos_tpu.util import BASE_COMPLEMENTS
+
+        lut = np.arange(256, dtype=np.uint8)
+        for base, comp in BASE_COMPLEMENTS.items():
+            lut[ord(base)] = ord(comp)
+        _COMP_LUT256 = lut
+    return _COMP_LUT256
+
+
+def _device_complement(jnp, x):
+    """IUPAC complement of an int32 byte matrix as a select chain (the
+    map has ~30 non-identity entries; a 256-LUT gather would compile
+    pathologically on some TPU backends)."""
+    lut = _complement_lut()
+    out = x
+    for byte in np.nonzero(lut != np.arange(256, dtype=np.uint8))[0]:
+        out = jnp.where(x == int(byte), int(lut[byte]), out)
+    return out
 
 
 def _env_int(name, default):
@@ -116,7 +145,7 @@ class _Inflight:
     to resolve it (kept alive until resolution)."""
 
     __slots__ = (
-        "bundle", "chunk", "sub", "batch", "width",
+        "bundle", "chunk", "sub", "batch", "width", "pad_b",
         "keep_start", "keep_stop", "n", "seqs", "host_q",
     )
 
@@ -189,14 +218,23 @@ class _MateLane:
     """
 
     def __init__(self, *, cut_front, cut_back, quality, nextseq, cutter,
-                 cutter_mod):
+                 cutter_mod, insert_adapter=None, insert_role=None):
         self.cut_front = cut_front
         self.cut_back = cut_back
         self.quality = quality
         self.nextseq = nextseq
         self.cutter = cutter
         self.cutter_mod = cutter_mod
-        self.adapters = cutter.adapters if cutter else []
+        self.insert_role = insert_role
+        if cutter:
+            self.adapters = cutter.adapters
+        elif insert_adapter is not None:
+            # insert mode: the mate's 3' adapter drives the FALLBACK
+            # independent match (InsertAdapterCutter semantics); the pair
+            # resolver decides whether/how its result applies
+            self.adapters = [insert_adapter]
+        else:
+            self.adapters = []
         from atropos_tpu.engine import _PrefixSuffixMatcher, make_batch_aligner
 
         # anchored no-indel adapters match via the vectorized host
@@ -252,9 +290,18 @@ class _MateLane:
 
         self._identity_view = (
             _add_view(np.arange(256, dtype=np.uint8))
-            if nextseq is not None
+            if (nextseq is not None or insert_role == 1)
             else None
         )
+        # insert mode: mate1 feeds the diagonal matcher its raw window
+        # bytes (identity view); mate2 feeds COMPLEMENTED bytes — the
+        # reverse-complement's complement step is just another decode
+        # table, the reversal is a device gather in the pair step
+        self._insert_view = None
+        if insert_role == 1:
+            self._insert_view = self._identity_view
+        elif insert_role == 2:
+            self._insert_view = _add_view(_complement_lut())
         upper_lut = _upper(np.arange(256, dtype=np.uint8))
         self._aligner_view = [
             _add_view(upper_lut if lut is None else lut[upper_lut])
@@ -262,10 +309,11 @@ class _MateLane:
         ]
 
     @classmethod
-    def from_modifier_list(cls, mods):
+    def from_modifier_list(cls, mods, insert_adapter=None, insert_role=None):
         """Build a lane from one mate's ordered modifier list, or a
         decline-reason string when a stage is unsupported or out of the
-        default C -> G -> Q -> A order."""
+        default C -> G -> Q -> A order. ``insert_adapter``/``insert_role``
+        configure the lane as one mate of an insert-align pair."""
         cut_front = cut_back = 0
         quality = None
         nextseq = None
@@ -304,6 +352,8 @@ class _MateLane:
                 adapter, ColorspaceAdapter
             ):
                 return "non-plain adapter"
+        if insert_adapter is not None and cutter is not None:
+            return "adapter cutter alongside insert cutter"
         return cls(
             cut_front=cut_front,
             cut_back=cut_back,
@@ -311,6 +361,8 @@ class _MateLane:
             nextseq=nextseq,
             cutter=cutter,
             cutter_mod=cutter_mod,
+            insert_adapter=insert_adapter,
+            insert_role=insert_role,
         )
 
     # -- device step builder --------------------------------------------------
@@ -375,16 +427,133 @@ class _MateLane:
             ]
         )
 
-    def _get_astep(self, width, pad_b, n_extra):
-        """Jitted device graph for one RAW-upload batch shape (fallback
-        when the chunk alphabet exceeds 16 symbols): device-side uppercase
-        + pad + transpose, every adapter's DP kernel, one concatenated
-        int16 bundle out.
+    def _core(self, jax, jnp, width, bits, quals_in, args_it,
+              need_plane=False):
+        """Traced per-mate compute, composable into a single-mate step or
+        the fused insert pair step.
+
+        Consumes this mate's device args from ``args_it`` (packed/raw
+        sequences, int16 windows, optional raw qualities, decode tables or
+        translated matrices), decodes the needed views, optionally runs
+        the NextSeq/quality kernels in-graph, and runs the per-adapter DP
+        kernels. Returns ``(rows, extras, win_len, insert_plane)`` where
+        ``insert_plane`` is the mate's diagonal-matcher byte plane
+        (identity for mate1, complemented for mate2) when requested.
+        """
+        from atropos_tpu.align.batched import (
+            nextseq_trim_batch,
+            quality_trim_batch,
+        )
+
+        main = next(args_it)
+        win16 = next(args_it)
+        quals = next(args_it) if quals_in else None
+        views = {}
+        if bits:
+            tables = next(args_it)
+            p = main.astype(jnp.int32)
+            if bits == 2:
+                parts = [(p >> s) & 3 for s in (0, 2, 4, 6)]
+            else:
+                parts = [p & 15, (p >> 4) & 15]
+            codes = jnp.stack(parts, axis=-1).reshape(p.shape[0], width)
+
+            def view(view_idx):
+                # one-hot decode (tiny-table gathers with per-read indices
+                # compile pathologically on some TPU backends)
+                if view_idx not in views:
+                    table = tables[view_idx]
+                    acc = jnp.zeros(codes.shape, jnp.int32)
+                    for code in range(1 << bits):
+                        acc = acc + jnp.where(codes == code, table[code], 0)
+                    views[view_idx] = acc
+                return views[view_idx]
+
+            identity = lambda: view(self._identity_view)  # noqa: E731
+            aligner_mat = lambda i: view(self._aligner_view[i])  # noqa: E731
+            plane_fn = lambda: view(self._insert_view)  # noqa: E731
+            cache_key = lambda i: self._aligner_view[i]  # noqa: E731
+        else:
+            seqs = main
+            translated = [next(args_it) for lut in self._luts if lut is not None]
+            tr_index = {}
+            for i, lut in enumerate(self._luts):
+                if lut is not None:
+                    tr_index[i] = len(tr_index)
+
+            def aligner_mat(i):
+                if self._luts[i] is not None:
+                    return translated[tr_index[i]].astype(jnp.int32)
+                if "upper" not in views:
+                    low = (seqs >= 97) & (seqs <= 122)
+                    views["upper"] = (
+                        seqs - low.astype(jnp.uint8) * 32
+                    ).astype(jnp.int32)
+                return views["upper"]
+
+            identity = lambda: seqs.astype(jnp.int32)  # noqa: E731
+
+            def plane_fn():
+                if self.insert_role == 1:
+                    return identity()
+                return _device_complement(jnp, identity())
+
+            cache_key = lambda i: ("raw", self._aligner_view[i])  # noqa: E731
+
+        win_len = win16.astype(jnp.int32)
+        extras = []
+        if quals_in:
+            if self.nextseq is not None:
+                g_stop = nextseq_trim_batch(
+                    identity(), quals, win_len,
+                    self.nextseq.cutoff, self.nextseq.base,
+                )
+                extras.append(g_stop)
+                win_len = jnp.where(win_len > 0, g_stop, win_len)
+            if self.quality is not None:
+                q_start, q_stop = quality_trim_batch(
+                    quals, win_len, self.quality.cutoff_front,
+                    self.quality.cutoff_back, self.quality.base,
+                )
+                extras.extend([q_start, q_stop])
+                win_len = jnp.where(win_len > 0, q_stop - q_start, win_len)
+
+        rows = []
+        reads_T = {}
+        for i, aligner in enumerate(self._aligners):
+            rows.append(
+                self._aligner_rows(
+                    jnp, aligner, aligner_mat(i), win_len, reads_T,
+                    cache_key(i),
+                )
+            )
+        plane = plane_fn() if need_plane else None
+        return rows, extras, win_len, plane
+
+    def _arg_specs(self, mode):
+        """shard_map input specs for this mate's device args under a
+        given (bits, quals_in, n_tr) mode."""
+        from jax.sharding import PartitionSpec as P
+
+        from atropos_tpu.parallel import READS_AXIS
+
+        bits, quals_in, n_tr = mode
+        specs = [P(READS_AXIS, None), P(READS_AXIS)]
+        if quals_in:
+            specs.append(P(READS_AXIS, None))
+        if bits:
+            specs.append(P(None, None))  # decode tables (replicated)
+        else:
+            specs.extend([P(READS_AXIS, None)] * n_tr)
+        return specs
+
+    def _get_step(self, width, pad_b, mode):
+        """Jitted single-mate device step for one batch shape: _core +
+        quality-extra rows + sharded stats, one int16 bundle out.
 
         Bundle rows: [7 per adapter: found,start1,stop1,start2,stop2,
-        matches,cost] + n_extra quality rows (+ sharded stats row).
-        """
-        key = (width, pad_b, n_extra)
+        matches,cost] + quality rows (+ sharded stats row)."""
+        key = (width, pad_b) + mode
         if key in self._asteps:
             return self._asteps[key]
 
@@ -394,37 +563,18 @@ class _MateLane:
         from atropos_tpu.parallel import data_parallel_mesh
 
         mesh = data_parallel_mesh()
-        aligners = self._aligners
-        luts = self._luts
+        bits, quals_in, _ = mode
 
-        def step(seqs, win_len, extras, *translated):
-            # seqs: [pad_b, width] uint8 raw; win_len: [pad_b] int32;
-            # extras: [n_extra, pad_b] int32; translated: per-wildcard-
-            # adapter pre-translated uppercase matrices [pad_b, width]
-            rows = []
-            upper = None
-            reads_T = {}
-            t_iter = iter(translated)
-            for idx, aligner in enumerate(aligners):
-                if luts[idx] is None:
-                    if upper is None:
-                        low = (seqs >= 97) & (seqs <= 122)
-                        upper = seqs - low.astype(jnp.uint8) * 32
-                    mat = upper
-                    cache_key = "upper"
-                else:
-                    mat = next(t_iter)
-                    cache_key = ("tr", idx)
-                rows.append(
-                    self._aligner_rows(
-                        jnp, aligner, mat, win_len, reads_T, cache_key
-                    )
-                )
-            if n_extra:
-                rows.append(extras)
+        def step(*args):
+            rows, extras, win_len, _ = self._core(
+                jax, jnp, width, bits, quals_in, iter(args)
+            )
+            n_aligners = len(rows)
+            for extra in extras:
+                rows.append(extra[None, :].astype(jnp.int32))
             if sharded:
                 rows.append(
-                    self._stats_rows(jax, jnp, rows, len(aligners), win_len)
+                    self._stats_rows(jax, jnp, rows, n_aligners, win_len)
                 )
             return self._finish_bundle(jnp, rows, win_len)
 
@@ -436,123 +586,10 @@ class _MateLane:
 
             from atropos_tpu.parallel import READS_AXIS, _shard_map
 
-            n_tr = sum(1 for lut in luts if lut is not None)
-            in_specs = (
-                P(READS_AXIS, None),   # seqs
-                P(READS_AXIS),         # win_len
-                P(None, READS_AXIS),   # extras
-            ) + (P(READS_AXIS, None),) * n_tr
             step = _shard_map(
-                step, mesh, in_specs=in_specs, out_specs=P(None, READS_AXIS)
-            )
-            self._sharded = True
-
-        self._asteps[key] = jax.jit(step)
-        return self._asteps[key]
-
-    def _get_packed_step(self, width, pad_b, bits, quals_in):
-        """Jitted device graph for one BIT-PACKED batch shape: unpack the
-        2/4-bit codes, decode per-adapter translated views via the small
-        code->ASCII tables, optionally run the NextSeq/quality kernels
-        in-graph, then every adapter's DP kernel. One int16 bundle out
-        (same row layout as :meth:`_get_astep`; quality rows are computed
-        in-step when ``quals_in``)."""
-        key = (width, pad_b, bits, quals_in)
-        if key in self._asteps:
-            return self._asteps[key]
-
-        import jax
-        import jax.numpy as jnp
-
-        from atropos_tpu.align.batched import (
-            nextseq_trim_batch,
-            quality_trim_batch,
-        )
-        from atropos_tpu.parallel import data_parallel_mesh
-
-        mesh = data_parallel_mesh()
-        aligners = self._aligners
-        aligner_view = self._aligner_view
-        identity_view = self._identity_view
-        nextseq = self.nextseq
-        quality = self.quality
-        n_codes = 1 << bits
-
-        def step(*args):
-            if quals_in:
-                packed, win16, quals, tables = args
-            else:
-                packed, win16, tables = args
-                quals = None
-            p = packed.astype(jnp.int32)
-            if bits == 2:
-                parts = [(p >> s) & 3 for s in (0, 2, 4, 6)]
-            else:
-                parts = [p & 15, (p >> 4) & 15]
-            codes = jnp.stack(parts, axis=-1).reshape(p.shape[0], width)
-
-            views = {}
-
-            def view(view_idx):
-                # one-hot decode (tiny-table gathers with per-read indices
-                # compile pathologically on some TPU backends)
-                if view_idx not in views:
-                    table = tables[view_idx]
-                    acc = jnp.zeros(codes.shape, jnp.int32)
-                    for code in range(n_codes):
-                        acc = acc + jnp.where(codes == code, table[code], 0)
-                    views[view_idx] = acc
-                return views[view_idx]
-
-            win_len = win16.astype(jnp.int32)
-            extras = []
-            if quals_in:
-                if nextseq is not None:
-                    g_stop = nextseq_trim_batch(
-                        view(identity_view), quals, win_len,
-                        nextseq.cutoff, nextseq.base,
-                    )
-                    extras.append(g_stop)
-                    win_len = jnp.where(win_len > 0, g_stop, win_len)
-                if quality is not None:
-                    q_start, q_stop = quality_trim_batch(
-                        quals, win_len, quality.cutoff_front,
-                        quality.cutoff_back, quality.base,
-                    )
-                    extras.extend([q_start, q_stop])
-                    win_len = jnp.where(
-                        win_len > 0, q_stop - q_start, win_len
-                    )
-
-            rows = []
-            reads_T = {}
-            for idx, aligner in enumerate(aligners):
-                rows.append(
-                    self._aligner_rows(
-                        jnp, aligner, view(aligner_view[idx]), win_len,
-                        reads_T, aligner_view[idx],
-                    )
-                )
-            for extra in extras:
-                rows.append(extra[None, :].astype(jnp.int32))
-            if sharded:
-                rows.append(
-                    self._stats_rows(jax, jnp, rows, len(aligners), win_len)
-                )
-            return self._finish_bundle(jnp, rows, win_len)
-
-        sharded = mesh is not None and mesh.devices.size > 1
-        if sharded:
-            from jax.sharding import PartitionSpec as P
-
-            from atropos_tpu.parallel import READS_AXIS, _shard_map
-
-            in_specs = (P(READS_AXIS, None), P(READS_AXIS))
-            if quals_in:
-                in_specs = in_specs + (P(READS_AXIS, None),)
-            in_specs = in_specs + (P(None, None),)  # decode tables
-            step = _shard_map(
-                step, mesh, in_specs=in_specs, out_specs=P(None, READS_AXIS)
+                step, mesh,
+                in_specs=tuple(self._arg_specs(mode)),
+                out_specs=P(None, READS_AXIS),
             )
             self._sharded = True
 
@@ -596,7 +633,11 @@ class _MateLane:
             tables[view_idx, : symbols.size] = lut[symbols]
         return tables
 
-    def submit(self, chunk, sub):
+    def prepare(self, chunk, sub):
+        """Host-side batch prep: fixed cuts, host window gather, the
+        synchronous 5'-quality path, pack decision, and device-arg
+        upload. Returns (token, dev_args | None, mode) where dev_args
+        feed :meth:`_core` and mode = (bits, quals_in, n_translated)."""
         import jax.numpy as jnp
 
         from atropos_tpu.align.batched import (
@@ -683,9 +724,9 @@ class _MateLane:
             quals_in = False
 
         pack = _pack_info(chunk)
-        sharded = self._mesh_is_sharded()
-        bundle = None
-        if self._aligners or quals_in or sharded:
+        args = None
+        mode = None
+        if self._aligners or quals_in or self._mesh_is_sharded():
             win_pad = np.zeros(pad_b, np.int16)
             win_pad[:batch] = win_len
             if pack is not None:
@@ -702,63 +743,50 @@ class _MateLane:
                 args.append(
                     jnp.asarray(self._decode_tables(symbols, 1 << bits))
                 )
-                step = self._get_packed_step(width, pad_b, bits, quals_in)
-                bundle = step(*args)
+                mode = (bits, quals_in, 0)
             else:
-                # raw fallback (> 16 distinct symbols): quality kernels
-                # run ahead of the astep, translated matrices uploaded
-                extras = []
-                d_seqs = jnp.asarray(seqs)
-                win_dev = jnp.asarray(win_pad.astype(np.int32))
+                # raw fallback (> 16 distinct symbols): raw sequences +
+                # per-wildcard-adapter translated matrices cross the link
+                args = [jnp.asarray(seqs), jnp.asarray(win_pad)]
                 if quals_in:
                     quals = self._gather(
                         chunk, sub, chunk.qual_off, keep_start, width, pad_b
                     )
-                    d_quals = jnp.asarray(quals)
-                    if self.nextseq is not None:
-                        g_stop = nextseq_trim_batch(
-                            d_seqs, d_quals, win_dev, self.nextseq.cutoff,
-                            self.nextseq.base,
-                        )
-                        extras.append(g_stop)
-                        win_dev = jnp.where(win_dev > 0, g_stop, win_dev)
-                    if self.quality is not None:
-                        q_start, q_stop = quality_trim_batch(
-                            d_quals, win_dev, self.quality.cutoff_front,
-                            self.quality.cutoff_back, self.quality.base,
-                        )
-                        extras.extend([q_start, q_stop])
-                        win_dev = jnp.where(
-                            win_dev > 0, q_stop - q_start, win_dev
-                        )
-                extras_arr = (
-                    jnp.stack(extras).astype(jnp.int32)
-                    if extras
-                    else jnp.zeros((0, pad_b), jnp.int32)
-                )
-                translated = [
-                    jnp.asarray(lut[_upper(seqs)])
-                    for lut in self._luts
-                    if lut is not None
-                ]
-                step = self._get_astep(width, pad_b, len(extras))
-                bundle = step(d_seqs, win_dev, extras_arr, *translated)
-            if self._sharded:
-                from atropos_tpu.parallel import SHARD_COUNTS
-
-                SHARD_COUNTS["sharded_calls"] += 1
-        return _Inflight(
-            bundle=bundle,
+                    args.append(jnp.asarray(quals))
+                n_tr = 0
+                for lut in self._luts:
+                    if lut is not None:
+                        args.append(jnp.asarray(lut[_upper(seqs)]))
+                        n_tr += 1
+                mode = (0, quals_in, n_tr)
+        tok = _Inflight(
+            bundle=None,
             chunk=chunk,
             sub=sub,
             batch=batch,
             width=width,
+            pad_b=pad_b,
             keep_start=keep_start,
             keep_stop=keep_stop,
             n=n,
             seqs=seqs,
             host_q=host_q,
         )
+        return tok, args, mode
+
+    def submit(self, chunk, sub):
+        """One-lane dispatch: prepare the batch and run this mate's
+        jitted step (the paired insert driver instead composes two
+        prepared mates into one fused step)."""
+        tok, args, mode = self.prepare(chunk, sub)
+        if args is not None:
+            step = self._get_step(tok.width, tok.pad_b, mode)
+            tok.bundle = step(*args)
+            if self._sharded:
+                from atropos_tpu.parallel import SHARD_COUNTS
+
+                SHARD_COUNTS["sharded_calls"] += 1
+        return tok
 
     # -- resolve: one fetch + host logic --------------------------------------
 
@@ -1070,6 +1098,448 @@ class _MateLane:
         in_win = idx < (keep_stop - keep_start)[:, None]
         is_n = (seqs == ord("N")) | (seqs == ord("n"))
         return (is_n & in_win).sum(axis=1)
+
+
+class _PairInflight:
+    """One in-flight insert-align pair batch: two prepared mate tokens
+    plus the fused device bundle."""
+
+    __slots__ = ("tok1", "tok2", "bundle")
+
+    def __init__(self, tok1, tok2, bundle):
+        self.tok1 = tok1
+        self.tok2 = tok2
+        self.bundle = bundle
+
+
+class _InsertPair:
+    """Turbo implementation of the insert-align paired stage: the
+    device+host twin of ``InsertAdapterCutter`` over whole batches.
+
+    Device side (one fused jitted step per batch shape): both mates'
+    quality kernels and fallback-adapter DP, then the variable-length
+    diagonal matcher over (rc(read2-window), read1-window) truncated to
+    the per-pair min window — exactly the scalar
+    ``InsertAligner.match_insert`` setup (reference
+    ``atropos/align/__init__.py:219-314``). The reverse-complement is a
+    per-chunk complement DECODE table plus one device gather, so nothing
+    extra crosses the link.
+
+    Host side (vectorized, no per-pair Python): closed-form candidate
+    reconstruction (:meth:`BatchInsertMatcher.candidate_arrays`),
+    random-match-probability filtering, probability-ordered candidate
+    selection with both overhang-adapter checks
+    (``align/__init__.py:284-306``), fallback independent matches,
+    symmetric-match duplication and per-mate trims + statistics
+    (``commands/trim/modifiers.py:359-509``). Error-correction configs
+    decline upstream and run through the batched engine instead.
+    """
+
+    def __init__(self, lane1, lane2, cutter):
+        from atropos_tpu.align.batched import (
+            BatchInsertMatcher,
+            _translation_lut,
+        )
+
+        self.lane1 = lane1
+        self.lane2 = lane2
+        self.cutter = cutter
+        aligner = cutter.aligner
+        self.aligner = aligner
+        self.matcher = BatchInsertMatcher(
+            aligner.max_insert_mismatch_frac,
+            aligner.min_insert_overlap,
+            max_matches=100,
+        )
+        self._steps = {}
+        self._sharded = False
+        # overhang comparator translation: compare_prefixes(ref=overhang,
+        # query=adapter) with the reference's argument order
+        aw = aligner.adapter_wildcards
+        rw = aligner.read_wildcards
+        self._cmp_ascii = not (aw or rw)
+        self._ref_lut = _translation_lut(aw, rw, for_query=False)
+        query_lut = _translation_lut(aw, rw, for_query=True)
+        self._ad1 = np.frombuffer(aligner.adapter1.encode("ascii"), np.uint8)
+        self._ad2 = np.frombuffer(aligner.adapter2.encode("ascii"), np.uint8)
+        self._ad1_t = query_lut[self._ad1]
+        self._ad2_t = query_lut[self._ad2]
+
+    # -- submit ---------------------------------------------------------------
+
+    def submit(self, chunk1, sub1, chunk2, sub2):
+        tok1, args1, mode1 = self.lane1.prepare(chunk1, sub1)
+        tok2, args2, mode2 = self.lane2.prepare(chunk2, sub2)
+        assert tok1.pad_b == tok2.pad_b  # same batch size + block config
+        step = self._get_step(
+            tok1.width, tok2.width, tok1.pad_b, mode1, mode2
+        )
+        bundle = step(*(list(args1) + list(args2)))
+        if self._sharded:
+            from atropos_tpu.parallel import SHARD_COUNTS
+
+            SHARD_COUNTS["sharded_calls"] += 1
+        return _PairInflight(tok1, tok2, bundle)
+
+    def _get_step(self, w1, w2, pad_b, mode1, mode2):
+        key = (w1, w2, pad_b, mode1, mode2)
+        if key in self._steps:
+            return self._steps[key]
+
+        import jax
+        import jax.numpy as jnp
+
+        from atropos_tpu.align.batched import _diagonal_match_counts
+        from atropos_tpu.parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh()
+        lane1, lane2 = self.lane1, self.lane2
+        w_ins = min(w1, w2)
+        min_insert = self.cutter.min_insert_len
+
+        def step(*args):
+            it = iter(args)
+            rows1, extras1, win1, plane1 = lane1._core(
+                jax, jnp, w1, mode1[0], mode1[1], it, need_plane=True
+            )
+            rows2, extras2, win2, plane2 = lane2._core(
+                jax, jnp, w2, mode2[0], mode2[1], it, need_plane=True
+            )
+            # per-pair truncated length; ineligible pairs (below the
+            # insert-overlap floor) are zeroed so no candidates emerge
+            m_col = jnp.minimum(win1, win2)
+            m_col = jnp.where(m_col >= min_insert, m_col, 0)
+            # reversal of the complemented mate2 window = one gather
+            t = jnp.arange(w_ins, dtype=jnp.int32)[None, :]
+            idx = jnp.clip(m_col[:, None] - 1 - t, 0, w2 - 1)
+            ref_plane = jnp.take_along_axis(plane2, idx, axis=1)
+            counts = _diagonal_match_counts(
+                ref_plane.T, plane1[:, :w_ins].T, m_col[None, :]
+            )
+            rows = rows1 + rows2
+            for extra in extras1 + extras2:
+                rows.append(extra[None, :].astype(jnp.int32))
+            rows.append(counts)
+            if sharded:
+                rows.append(
+                    _MateLane._stats_rows(jax, jnp, rows, 2, m_col)
+                )
+            return _MateLane._finish_bundle(jnp, rows, win1)
+
+        sharded = mesh is not None and mesh.devices.size > 1
+        if sharded:
+            from jax.sharding import PartitionSpec as P
+
+            from atropos_tpu.parallel import READS_AXIS, _shard_map
+
+            specs = tuple(
+                lane1._arg_specs(mode1) + lane2._arg_specs(mode2)
+            )
+            step = _shard_map(
+                step, mesh, in_specs=specs, out_specs=P(None, READS_AXIS)
+            )
+            self._sharded = True
+
+        self._steps[key] = jax.jit(step)
+        return self._steps[key]
+
+    # -- resolve --------------------------------------------------------------
+
+    @staticmethod
+    def _n_extras(lane, tok):
+        if tok.host_q or not lane._needs_quals:
+            return 0
+        return (1 if lane.nextseq is not None else 0) + (
+            2 if lane.quality is not None else 0
+        )
+
+    def resolve(self, ptok):
+        """Fetch the fused bundle; produce final per-mate windows +
+        matched flags, accumulating every InsertAdapterCutter statistic
+        exactly as the scalar pipeline would."""
+        tok1, tok2 = ptok.tok1, ptok.tok2
+        batch = tok1.batch
+        arr = np.asarray(ptok.bundle).astype(np.int32)[:, :batch]
+        lane1, lane2 = self.lane1, self.lane2
+
+        cursor = 14
+        n1e = self._n_extras(lane1, tok1)
+        ks1, kp1 = tok1.keep_start, tok1.keep_stop
+        if n1e:
+            ks1, kp1 = lane1._apply_quality(
+                tok1, list(arr[cursor : cursor + n1e]), ks1, kp1
+            )
+        cursor += n1e
+        n2e = self._n_extras(lane2, tok2)
+        ks2, kp2 = tok2.keep_start, tok2.keep_stop
+        if n2e:
+            ks2, kp2 = lane2._apply_quality(
+                tok2, list(arr[cursor : cursor + n2e]), ks2, kp2
+            )
+        cursor += n2e
+        w_ins = min(tok1.width, tok2.width)
+        counts = arr[cursor : cursor + w_ins]
+
+        if self._sharded:
+            from atropos_tpu.parallel import SHARD_COUNTS
+
+            # telemetry only: the final matched decision is host-side
+            # candidate selection, so no strict equality check here
+            SHARD_COUNTS["psum_counter_checks"] += 1
+
+        wl1 = kp1 - ks1
+        wl2 = kp2 - ks2
+        res1 = self._mate_res(lane1, arr[0:7], wl1)
+        res2 = self._mate_res(lane2, arr[7:14], wl2)
+
+        sel = self._select(counts, tok1, tok2, wl1, wl2)
+        m1, m2 = self._combine(sel, res1, res2, wl1, wl2)
+        kp1 = self._apply_mate(lane1, tok1, m1, ks1, kp1, wl1, 0)
+        kp2 = self._apply_mate(lane2, tok2, m2, ks2, kp2, wl2, 1)
+        return ks1, kp1, m1["present"], ks2, kp2, m2["present"]
+
+    @staticmethod
+    def _mate_res(lane, rows, wl):
+        """The mate's fallback adapter result with match_to validation
+        (in-kernel overlap/error gates + the host max_rmp gate)."""
+        res = dict(
+            found=rows[0].astype(bool),
+            start1=rows[1],
+            stop1=rows[2],
+            start2=rows[3],
+            stop2=rows[4],
+            matches=rows[5],
+            cost=rows[6],
+        )
+        res["found"] = res["found"] & (wl > 0)
+        return lane._validate(0, res)
+
+    def _rmp_bulk(self, matches, size, base_probs=None):
+        """Vectorized RandomMatchProbability over unique (matches, size)
+        pairs — same cached scalar evaluator, so float decisions are
+        bit-identical to the reference."""
+        out = np.empty(matches.shape[0], np.float64)
+        prob_fn = self.aligner.match_probability
+        kwargs = base_probs or {}
+        keys = matches * (1 << 20) + size
+        for key in np.unique(keys):
+            kmatches, ksize = divmod(int(key), 1 << 20)
+            out[keys == key] = prob_fn(kmatches, ksize, **kwargs)
+        return out
+
+    def _overhang(self, tok, rows_b, starts, lens, ad_raw, ad_t):
+        """Vectorized compare_prefixes of each pair's adapter overhang
+        (window bytes from ``starts``, ``lens`` long) vs the adapter."""
+        count = rows_b.shape[0]
+        cap = int(lens.max()) if count else 0
+        if cap == 0:
+            zeros = np.zeros(count, np.int64)
+            return zeros, zeros
+        tt = np.arange(cap, dtype=np.int64)[None, :]
+        gidx = np.clip(starts[:, None] + tt, 0, tok.width - 1)
+        sub = tok.seqs[:tok.batch][rows_b]
+        window = np.take_along_axis(sub, gidx, axis=1)
+        valid = tt < lens[:, None]
+        if self._cmp_ascii:
+            eq = window == ad_raw[None, :cap]
+        else:
+            eq = (self._ref_lut[window] & ad_t[None, :cap]) != 0
+        matches = (eq & valid).sum(axis=1).astype(np.int64)
+        return lens - matches, matches
+
+    def _select(self, counts, tok1, tok2, wl1, wl2):
+        """Per-pair insert-candidate selection: RMP filter, sort by
+        probability (stream order on ties), first candidate surviving
+        the overhang-adapter checks wins (``match_insert`` semantics)."""
+        batch = tok1.batch
+        aligner = self.aligner
+        w_ins = counts.shape[0]
+        out = dict(
+            has=np.zeros(batch, bool),
+            only=np.zeros(batch, bool),
+            ims=np.zeros(batch, np.int64),
+            mm=np.zeros(batch, np.int64),
+            alen1=np.zeros(batch, np.int64),
+            alen2=np.zeros(batch, np.int64),
+        )
+        m = np.minimum(wl1, wl2).astype(np.int64)
+        out["eligible"] = eligible = m >= self.cutter.min_insert_len
+        m_eff = np.where(eligible, m, 0)
+        if not m_eff.any():
+            return out
+
+        # host byte planes matching the device counts exactly
+        comp2 = _complement_lut()[tok2.seqs[:batch]]
+        t = np.arange(w_ins)
+        idx = np.clip(m_eff[:, None] - 1 - t[None, :], 0, tok2.width - 1)
+        refs = np.take_along_axis(comp2[:, : tok2.width], idx, axis=1)
+        refs = np.where(t[None, :] < m_eff[:, None], refs, 0).astype(np.uint8)
+        query = np.ascontiguousarray(tok1.seqs[:batch, :w_ins])
+        arrs = self.matcher.candidate_arrays(counts, refs, query, m_eff)
+
+        ss, bs = np.nonzero(arrs["cand"])
+        fb = np.nonzero(arrs["final_ok"])[0]
+        if ss.size == 0 and fb.size == 0:
+            return out
+        s_all = np.concatenate([ss, arrs["final_s"][fb]]).astype(np.int64)
+        b_all = np.concatenate([bs, fb]).astype(np.int64)
+        is_final = np.concatenate(
+            [np.zeros(ss.size, bool), np.ones(fb.size, bool)]
+        )
+        rank_all = np.concatenate(
+            [arrs["rank"][ss, bs], arrs["n_cand"][fb]]
+        ).astype(np.int64)
+        m_all = m_eff[b_all]
+        qstop = np.where(is_final, m_all, m_all - s_all)
+        offset = np.minimum(s_all, m_all - qstop)
+        ims = m_all - offset
+        mt = counts[s_all, b_all].astype(np.int64)
+        prob = self._rmp_bulk(mt, ims, aligner.base_probs)
+        keep = prob <= aligner.insert_max_rmp
+        if not keep.any():
+            return out
+        s_all, b_all, rank_all, offset, ims, prob = (
+            a[keep] for a in (s_all, b_all, rank_all, offset, ims, prob)
+        )
+
+        # _match evaluation per candidate (align/__init__.py:240-284)
+        only = offset < aligner.min_adapter_overlap
+        alen1 = np.minimum(offset, aligner.adapter1_len)
+        alen2 = np.minimum(offset, aligner.adapter2_len)
+        e1, mt1 = self._overhang(tok1, b_all, ims, alen1, self._ad1, self._ad1_t)
+        e2, mt2 = self._overhang(tok2, b_all, ims, alen2, self._ad2, self._ad2_t)
+        frac = aligner.max_adapter_mismatch_frac
+        fail = (e1 > np.round(alen1 * frac)) & (e2 > np.round(alen2 * frac))
+        check = np.minimum(alen1, alen2) > aligner.adapter_check_cutoff
+        if check.any():
+            p1 = self._rmp_bulk(mt1, alen1)
+            p2 = self._rmp_bulk(mt2, alen2)
+            fail |= check & ((p1 * p2) > aligner.adapter_max_rmp)
+        ok = only | ~fail
+        if not ok.any():
+            return out
+
+        # first surviving candidate per pair in (prob, stream) order
+        order = np.lexsort((rank_all, prob, b_all))
+        b_sorted = b_all[order]
+        ok_pos = np.nonzero(ok[order])[0]
+        first = np.full(batch, -1, np.int64)
+        first[b_sorted[ok_pos[::-1]]] = ok_pos[::-1]
+        has = first >= 0
+        rowsel = order[first[has]]
+        out["has"] = has
+        out["only"][has] = only[rowsel]
+        out["ims"][has] = ims[rowsel]
+        out["mm"][has] = np.minimum(e1, e2)[rowsel]
+        out["alen1"][has] = alen1[rowsel]
+        out["alen2"][has] = alen2[rowsel]
+        return out
+
+    def _combine(self, sel, res1, res2, wl1, wl2):
+        """Selection + fallback + symmetric duplication -> per-mate match
+        field arrays (InsertAdapterCutter.__call__ flow)."""
+        batch = wl1.shape[0]
+        has = sel["has"]
+        ipass = has & ~sel["only"]
+
+        def blank():
+            zero = np.zeros(batch, np.int64)
+            return dict(
+                present=np.zeros(batch, bool),
+                rstart=zero.copy(),
+                rstop=zero.copy(),
+                astart=zero.copy(),
+                astop=zero.copy(),
+                errors=zero.copy(),
+            )
+
+        m1, m2 = blank(), blank()
+        # insert-path matches (_create_match, modifiers.py:274-278)
+        for mate, alen_key, wl in ((m1, "alen1", wl1), (m2, "alen2", wl2)):
+            ims = sel["ims"]
+            alen_eff = np.minimum(sel[alen_key], wl - ims)
+            errors = np.minimum(alen_eff, sel["mm"])
+            if ipass.any():
+                # Match invariants (align Match.__init__), scalar parity
+                if (alen_eff[ipass] <= 0).any():
+                    raise ValueError("Match length must be >= 0")
+                if ((alen_eff - errors)[ipass] <= 0).any():
+                    raise ValueError(
+                        "A Match requires at least one matching position."
+                    )
+            mate["present"] = ipass.copy()
+            mate["rstart"] = np.where(ipass, ims, 0)
+            mate["rstop"] = np.where(ipass, wl, 0)
+            mate["astop"] = np.where(ipass, alen_eff, 0)
+            mate["errors"] = np.where(ipass, errors, 0)
+
+        # fallback independent matches for pairs without an insert result
+        fallback = (~has) & sel["eligible"]
+        for mate, res in ((m1, res1), (m2, res2)):
+            if res is None:
+                continue
+            fpres = fallback & res["found"]
+            mate["present"] |= fpres
+            for field, src in (
+                ("rstart", "start2"), ("rstop", "stop2"),
+                ("astart", "start1"), ("astop", "stop1"),
+                ("errors", "cost"),
+            ):
+                mate[field] = np.where(fpres, res[src], mate[field])
+
+        # symmetric duplication (_mirror_match, modifiers.py:228-238)
+        if self.cutter.symmetric:
+            mir12 = m1["present"] & ~m2["present"]
+            mir21 = m2["present"] & ~m1["present"]
+            for src, dst, wl_dst, mir in (
+                (m1, m2, wl2, mir12), (m2, m1, wl1, mir21),
+            ):
+                ok = mir & (src["rstart"] <= wl_dst)
+                shrink = ok & (src["rstop"] < wl_dst)
+                dst["present"] |= ok
+                dst["rstart"] = np.where(ok, src["rstart"], dst["rstart"])
+                dst["rstop"] = np.where(
+                    ok, np.where(shrink, wl_dst, src["rstop"]), dst["rstop"]
+                )
+                dst["astart"] = np.where(ok, src["astart"], dst["astart"])
+                dst["astop"] = np.where(
+                    ok,
+                    np.where(
+                        shrink,
+                        src["astop"] - (wl_dst - src["rstop"]),
+                        src["astop"],
+                    ),
+                    dst["astop"],
+                )
+                dst["errors"] = np.where(ok, src["errors"], dst["errors"])
+        return m1, m2
+
+    def _apply_mate(self, lane, tok, mate, ks, kp, wl, mate_idx):
+        """_trim_mate per mate: trim window + adapter statistics
+        (modifiers.py:292-314; Adapter._trimmed_back)."""
+        present = mate["present"]
+        self.cutter.with_adapters[mate_idx] += int(present.sum())
+        trim = present & (mate["rstart"] < wl)
+        if trim.any():
+            adapter = lane.adapters[0]
+            rstart = mate["rstart"][trim]
+            removed = (wl[trim] - rstart).astype(np.int64)
+            lane._bump_histograms(
+                adapter.lengths_back, adapter.errors_back,
+                removed, mate["errors"][trim],
+            )
+            rows = np.nonzero(trim)[0]
+            prev = np.where(
+                rstart > 0,
+                tok.seqs[rows, np.maximum(rstart - 1, 0)],
+                0,
+            )
+            for byte, cnt in zip(*np.unique(prev, return_counts=True)):
+                base = chr(int(byte))
+                if base not in "ACGT":
+                    base = ""
+                adapter.adjacent_bases[base] += int(cnt)
+        return np.where(trim, ks + mate["rstart"], kp).astype(np.int32)
 
 
 def _format_records(chunk, sub, keep_start, keep_stop, keep):
@@ -1492,13 +1962,14 @@ class TurboTrimRunner(_TurboRunnerBase):
 
 
 class TurboPairedRunner(_TurboRunnerBase):
-    """Streaming interval-based trim for eligible paired-end
-    adapter-align configs: two :class:`_MateLane`s fed by two
-    synchronized chunk streams, vectorized pair filters, two outputs.
+    """Streaming interval-based trim for eligible paired-end configs:
+    two :class:`_MateLane`s fed by two synchronized chunk streams,
+    vectorized pair filters, two outputs.
 
-    Insert-align (``--aligner insert``) configurations decline here and
-    run through the batched engine instead (its InsertAdapterCutter entry
-    is a ReadPairModifier).
+    Covers BOTH aligners: independent per-mate adapter matching, and
+    insert-align (``--aligner insert``) via :class:`_InsertPair` (one
+    fused device step per batch). Insert configs with
+    ``--correct-mismatches`` decline and run through the batched engine.
     """
 
     @classmethod
@@ -1535,9 +2006,15 @@ class TurboPairedRunner(_TurboRunnerBase):
             return cls._decline(reason)
 
         mods1, mods2 = [], []
+        insert_cutter = None
         for entry in record_handler.modifiers.modifiers:
+            if isinstance(entry, InsertAdapterCutter):
+                if insert_cutter is not None:
+                    return cls._decline("multiple insert cutters")
+                insert_cutter = entry
+                continue
             if isinstance(entry, ReadPairModifier):
-                # insert cutter / merge / overwrite: engine or scalar path
+                # merge / overwrite: engine or scalar path
                 return cls._decline(
                     "pair modifier %s" % type(entry).__name__
                 )
@@ -1545,18 +2022,37 @@ class TurboPairedRunner(_TurboRunnerBase):
                 mods1.append(entry[0])
             if entry[1] is not None:
                 mods2.append(entry[1])
-        lane1 = _MateLane.from_modifier_list(mods1)
-        if isinstance(lane1, str):
-            return cls._decline(lane1)
-        lane2 = _MateLane.from_modifier_list(mods2)
-        if isinstance(lane2, str):
-            return cls._decline(lane2)
+        insert_pair = None
+        if insert_cutter is not None:
+            if insert_cutter.mismatch_action:
+                # --correct-mismatches mutates sequence bytes; the
+                # interval formatter cannot express that yet
+                return cls._decline("insert error correction")
+            lane1 = _MateLane.from_modifier_list(
+                mods1, insert_adapter=insert_cutter.adapter1, insert_role=1
+            )
+            if isinstance(lane1, str):
+                return cls._decline(lane1)
+            lane2 = _MateLane.from_modifier_list(
+                mods2, insert_adapter=insert_cutter.adapter2, insert_role=2
+            )
+            if isinstance(lane2, str):
+                return cls._decline(lane2)
+            insert_pair = _InsertPair(lane1, lane2, insert_cutter)
+        else:
+            lane1 = _MateLane.from_modifier_list(mods1)
+            if isinstance(lane1, str):
+                return cls._decline(lane1)
+            lane2 = _MateLane.from_modifier_list(mods2)
+            if isinstance(lane2, str):
+                return cls._decline(lane2)
         return cls(
-            command_runner, record_handler, writers, lane1, lane2, stats
+            command_runner, record_handler, writers, lane1, lane2, stats,
+            insert_pair,
         )
 
     def __init__(self, command_runner, record_handler, writers, lane1, lane2,
-                 stats=None):
+                 stats=None, insert_pair=None):
         self.command_runner = command_runner
         self.options = command_runner.options
         self.record_handler = record_handler
@@ -1564,6 +2060,7 @@ class TurboPairedRunner(_TurboRunnerBase):
         self.lane1 = lane1
         self.lane2 = lane2
         self.stats = stats
+        self.insert_pair = insert_pair
 
     # -- main loop ------------------------------------------------------------
 
@@ -1613,20 +2110,23 @@ class TurboPairedRunner(_TurboRunnerBase):
                     total_pairs += take
                     bp1 += int(cur1.seq_len[sub1].sum())
                     bp2 += int(cur2.seq_len[sub2].sum())
-                    inflight.append(
-                        (self.lane1.submit(cur1, sub1),
-                         self.lane2.submit(cur2, sub2))
-                    )
+                    if self.insert_pair is not None:
+                        inflight.append(
+                            self.insert_pair.submit(cur1, sub1, cur2, sub2)
+                        )
+                    else:
+                        inflight.append(
+                            (self.lane1.submit(cur1, sub1),
+                             self.lane2.submit(cur2, sub2))
+                        )
                     while len(inflight) >= self.DEPTH:
-                        tok1, tok2 = inflight.popleft()
-                        self._resolve_pair(tok1, tok2)
+                        self._resolve_item(inflight.popleft())
                 batch_index += 1
         finally:
             s1.close()
             s2.close()
         while inflight:
-            tok1, tok2 = inflight.popleft()
-            self._resolve_pair(tok1, tok2)
+            self._resolve_item(inflight.popleft())
         self._writer.close()
 
         self._update_counts(total_pairs, (bp1, bp2))
@@ -1696,10 +2196,24 @@ class TurboPairedRunner(_TurboRunnerBase):
                 "does not match '{1}' in file 2.".format(name1, name2)
             )
 
-    def _resolve_pair(self, tok1, tok2):
-        self._check_pair_names(tok1, tok2)
-        ks1, kp1, matched1 = self.lane1.resolve_windows(tok1)
-        ks2, kp2, matched2 = self.lane2.resolve_windows(tok2)
+    def _resolve_item(self, item):
+        """Resolve one in-flight batch: either an insert-pair token or a
+        (tok1, tok2) per-mate pair."""
+        if self.insert_pair is not None:
+            tok1, tok2 = item.tok1, item.tok2
+            self._check_pair_names(tok1, tok2)
+            ks1, kp1, matched1, ks2, kp2, matched2 = (
+                self.insert_pair.resolve(item)
+            )
+        else:
+            tok1, tok2 = item
+            self._check_pair_names(tok1, tok2)
+            ks1, kp1, matched1 = self.lane1.resolve_windows(tok1)
+            ks2, kp2, matched2 = self.lane2.resolve_windows(tok2)
+        self._finish_pair(tok1, tok2, ks1, kp1, matched1, ks2, kp2, matched2)
+
+    def _finish_pair(self, tok1, tok2, ks1, kp1, matched1, ks2, kp2,
+                     matched2):
         len1 = kp1 - ks1
         len2 = kp2 - ks2
 

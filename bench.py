@@ -242,31 +242,48 @@ def bench_end_to_end(arr):
 ADAPTER2 = "AGATCGGAAGAGCGTCGTGTAGGGAAAGAGTGT"  # TruSeq R2, 33 bp
 
 
-def bench_end_to_end_pe(arr):
-    """Full PAIRED turbo pipeline (adapter aligner) via the real CLI:
-    two on-disk FASTQs, two output streams, pair filters. Pairs/s."""
+def _write_pe_inputs(arr, pairs, tmp):
+    """Two on-disk FASTQs: half the pairs are proper short-insert pairs
+    (read2 = rc(read1-with-insert) so the insert matcher finds the
+    overlap and both adapters), half are independent reads (the insert
+    path's fallback lane)."""
     import numpy as np
 
-    from atropos_tpu.commands import execute_cli
-
-    pairs = E2E_READS // 2
-    tmp = "/tmp/atropos_bench"
-    os.makedirs(tmp, exist_ok=True)
     inp1 = os.path.join(tmp, "bench_in.1.fastq")
     inp2 = os.path.join(tmp, "bench_in.2.fastq")
-    out1 = os.path.join(tmp, "bench_out.1.fastq")
-    out2 = os.path.join(tmp, "bench_out.2.fastq")
-    report = os.path.join(tmp, "report_pe.txt")
     reps = -(-pairs // arr.shape[0])
     big = np.tile(arr, (reps, 1))[:pairs]
     write_fastq(inp1, big)
     arr2 = make_read_matrix(arr.shape[0], arr.shape[1], ADAPTER2, seed=3)
     big2 = np.tile(arr2, (reps, 1))[:pairs]
+    # overlap half: read2 = rc(read1) — a full-length insert overlap
+    comp = np.zeros(256, np.uint8)
+    for a, b in zip(b"ACGTN", b"TGCAN"):
+        comp[a] = b
+    half = pairs // 2
+    big2[:half] = comp[big[:half, ::-1]]
     write_fastq(inp2, big2)
+    return inp1, inp2
+
+
+def bench_end_to_end_pe(arr, aligner):
+    """Full PAIRED turbo pipeline via the real CLI: two on-disk FASTQs,
+    two output streams, pair filters. Pairs/s for the given aligner
+    (``adapter`` = independent per-mate matching, ``insert`` = the
+    insert-overlap lane, reference TableS2's two benchmark modes)."""
+    from atropos_tpu.commands import execute_cli
+
+    pairs = E2E_READS // 2
+    tmp = "/tmp/atropos_bench"
+    os.makedirs(tmp, exist_ok=True)
+    inp1, inp2 = _write_pe_inputs(arr, pairs, tmp)
+    out1 = os.path.join(tmp, "bench_out.1.fastq")
+    out2 = os.path.join(tmp, "bench_out.2.fastq")
+    report = os.path.join(tmp, "report_pe.txt")
 
     argv = [
         "trim", "-pe1", inp1, "-pe2", inp2,
-        "-a", ADAPTER, "-A", ADAPTER2, "--aligner", "adapter",
+        "-a", ADAPTER, "-A", ADAPTER2, "--aligner", aligner,
         "-o", out1, "-p", out2,
         "--no-default-adapters", "--report-file", report, "--quiet",
     ]
@@ -288,8 +305,9 @@ def main():
     arr = make_read_matrix(BATCH, READ_LEN, ADAPTER)
     kernel_rps = bench_kernel(arr, jax, jnp)
     pe_pps = bench_pe_insert(jax, jnp)
+    e2e_pe_ins_pps = bench_end_to_end_pe(arr, "insert")
     e2e_rps = bench_end_to_end(arr)
-    e2e_pe_pps = bench_end_to_end_pe(arr)
+    e2e_pe_pps = bench_end_to_end_pe(arr, "adapter")
 
     print(
         json.dumps(
@@ -312,6 +330,9 @@ def main():
                     ),
                     pe_insert_pairs_per_sec=round(pe_pps, 1),
                     end_to_end_pe_pairs_per_sec=round(e2e_pe_pps, 1),
+                    end_to_end_pe_insert_pairs_per_sec=round(
+                        e2e_pe_ins_pps, 1
+                    ),
                 ),
             )
         )
