@@ -840,12 +840,18 @@ class BatchInsertMatcher:
         min_overlap = self.min_overlap
         max_matches = self.max_matches
 
-        m = lengths.astype(np.int64)  # [B]
-        s_idx = np.arange(W, dtype=np.int64)[:, None]  # [W, 1]
+        m = lengths.astype(np.int32)  # [B]
+        s_idx = np.arange(W, dtype=np.int32)[:, None]  # [W, 1]
         size = m[None, :] - s_idx  # [W, B] overlap length per diagonal
         in_range = size > 0
-        cost = np.where(in_range, size - counts, 0)
-        k = (err * m).astype(np.int64)  # int(err*m): C-double truncation
+        cost = np.where(in_range, size - counts, 0).astype(np.int32)
+        k = (err * m).astype(np.int32)  # int(err*m): C-double truncation
+        # the float admissibility check (cost <= size * err, C doubles)
+        # as an exact integer threshold table: for integer cost,
+        # cost <= size*err  <=>  cost <= floor(size*err)
+        thresh = np.array(
+            [int(np.floor(s * err)) for s in range(W + 1)], np.int32
+        )
 
         # mismatch at the bottom row of each diagonal (host byte compare)
         last_ref = np.take_along_axis(
@@ -853,7 +859,7 @@ class BatchInsertMatcher:
         )  # [B, 1]
         q_idx = np.clip(m[None, :] - 1 - s_idx, 0, W - 1).T  # [B, W]
         q_last = np.take_along_axis(reads_u8, q_idx, axis=1).T  # [W, B]
-        mm_last = (q_last != last_ref.T).astype(np.int64)
+        mm_last = (q_last != last_ref.T).astype(np.int32)
 
         alive_bot = in_range & (cost <= k[None, :])
         # s >= m_b: zero-length overlap, running cost 0 -> alive
@@ -870,13 +876,16 @@ class BatchInsertMatcher:
             reach
             & alive_bot
             & (size >= min_overlap)
-            & (cost.astype(np.float64) <= size * err)
+            & (cost <= thresh[np.clip(size, 0, W)])
         )
 
-        # emission order is s descending; rank = candidates before s
-        rec_i = rec.astype(np.int64)
-        rank = np.cumsum(rec_i[::-1], axis=0)[::-1] - rec_i
-        total = rec_i.sum(axis=0)
+        # emission order is s descending; rank(s) = #candidates with
+        # s' > s = total - inclusive-prefix-count (one forward cumsum —
+        # a reversed-view cumsum costs 3x in strided traffic)
+        rec_i = rec.astype(np.int32)
+        prefix_incl = np.cumsum(rec_i, axis=0)
+        total = prefix_incl[-1]
+        rank = total[None, :] - prefix_incl
         # exact-match collapse: diagonal 0 with zero cost, if reached
         # before the cap, erases every earlier candidate
         exact = rec[0] & (cost[0] == 0) & (rank[0] < max_matches)
@@ -897,7 +906,7 @@ class BatchInsertMatcher:
             (~broke)
             & (m > 0)
             & (size_f >= min_overlap)
-            & (cost_f.astype(np.float64) <= size_f * err)
+            & (cost_f <= thresh[np.clip(size_f, 0, W)])
         )
         return dict(
             cand=cand,

@@ -10,7 +10,6 @@ from argparse import (
     ArgumentTypeError,
     HelpFormatter,
 )
-import copy
 import logging
 from multiprocessing import cpu_count
 import os
@@ -44,7 +43,7 @@ class BaseCommandParser:
 
     def parse(self, args):
         options = self.parser.parse_args(args)
-        options.orig_args = copy.copy(args)
+        options.orig_args = list(args)
         self.setup_logging(options)
         self.validate_common_options(options)
         self.validate_command_options(options)
@@ -53,32 +52,28 @@ class BaseCommandParser:
     def create_parser(self):
         format_args = dict(name=self.name, version=__version__)
         self.parser = ArgumentParser(
-            prog="atropos {}".format(self.name),
+            prog="atropos {}".format(format_args["name"]),
             usage=self.usage.format(**format_args),
             description=self.get_description(**format_args),
             formatter_class=ParagraphHelpFormatter,
         )
 
     def get_description(self, **kwargs):
-        description = "{}\n\n{}\n\n{}".format(
-            *(part.strip() for part in (self.preamble, self.description, self.details))
-        )
-        return description.format(**kwargs)
+        parts = (self.preamble, self.description, self.details)
+        return "\n\n".join(p.strip() for p in parts).format(**kwargs)
 
     def add_group(self, name, title=None, description=None, mutex=False, required=False):
         if name in self.groups:
             raise ValueError("Group already exists: {}".format(name))
-        if mutex:
-            group = self.parser.add_mutually_exclusive_group(required)
-        else:
-            group = self.parser.add_argument_group(title or name, description)
-        self.groups[name] = group
+        self.groups[name] = group = (
+            self.parser.add_mutually_exclusive_group(required)
+            if mutex
+            else self.parser.add_argument_group(title or name, description)
+        )
         return group
 
     def get_group(self, name):
-        if name in self.groups:
-            return self.groups[name]
-        return self.add_group(name)
+        return self.groups.get(name) or self.add_group(name)
 
     def add_common_options(self):
         self.parser.set_defaults(
@@ -190,65 +185,59 @@ class BaseCommandParser:
         raise NotImplementedError()
 
     def setup_logging(self, options):
-        if not logging.root.handlers:
-            level = options.log_level or ("ERROR" if options.quiet else "INFO")
-            level = getattr(logging, level)
-            if options.log_file is None:
-                stream = sys.stdout
-                if getattr(options, "output", None) in (None, STDOUT, STDERR):
-                    stream = sys.stderr
-                handler = logging.StreamHandler(stream)
-            else:
-                handler = logging.FileHandler(options.log_file)
+        root = logging.getLogger()
+        if not root.handlers:
+            level = getattr(
+                logging,
+                options.log_level or ("ERROR" if options.quiet else "INFO"),
+            )
+            handler = self._make_log_handler(options)
             handler.setFormatter(
                 logging.Formatter("%(asctime)s %(levelname)s: %(message)s")
             )
             handler.setLevel(level)
-            logging.getLogger().setLevel(level)
-            logging.getLogger().addHandler(handler)
-
-        logging.getLogger().info(
+            root.setLevel(level)
+            root.addHandler(handler)
+        root.info(
             "This is Atropos-TPU %s with Python %s",
             __version__,
             platform.python_version(),
         )
 
+    @staticmethod
+    def _make_log_handler(options):
+        if options.log_file is not None:
+            return logging.FileHandler(options.log_file)
+        # stderr when product output occupies stdout (or goes nowhere)
+        std_out_taken = getattr(options, "output", None) in (None, STDOUT, STDERR)
+        return logging.StreamHandler(sys.stderr if std_out_taken else sys.stdout)
+
     def validate_common_options(self, options):
-        parser = self.parser
+        self._resolve_input_mode(options)
+        if options.input_read is None:
+            options.input_read = PAIRED if options.paired else SINGLE
+        if options.sample_id is None:
+            options.sample_id = self._derive_sample_id(options)
 
-        if options.sra_accession:
-            # stream directly from an SRA accession when the optional
-            # srastream library is installed (reference
-            # ``atropos/commands/cli.py:262-283``)
-            if options.format not in ("fastq", "sam", "bam", None):
-                raise ValueError(
-                    "Invalid file format for SRA accession: {}".format(
-                        options.format
-                    )
-                )
-            options.format = "fastq"
-            logging.getLogger().debug(
-                "Opening reader for SRA Accession %s", options.sra_accession
+        if options.quiet:
+            options.progress = None
+        elif options.progress and getattr(options, "output", None) == STDERR:
+            logging.getLogger().warning(
+                "Progress bar may corrupt output written to STDERR"
             )
-            try:
-                from srastream import SraReader
 
-                options.sra_reader = SraReader(
-                    options.sra_accession,
-                    batch_size=options.batch_size or 1000,
-                )
-                options.sra_reader.start()
-                options.paired = options.sra_reader.paired
-            except Exception:
-                logging.getLogger().exception(
-                    "Error while fetching accession %s from SRA",
-                    options.sra_accession,
-                )
-                parser.error(
-                    "Unable to read from accession {}".format(
-                        options.sra_accession
-                    )
-                )
+        if options.report_file in (STDOUT, STDERR) and options.quiet:
+            logging.getLogger().warning(
+                "Quiet mode - report will not be written to stdout"
+            )
+            options.report_file = None
+
+    def _resolve_input_mode(self, options):
+        """Resolve the four input modes (SRA / -se / -l-as-single / PE)
+        into (input1, input2, paired)."""
+        parser = self.parser
+        if options.sra_accession:
+            self._open_sra(options)
         elif options.single_input:
             if options.input1 or options.input2 or options.interleaved_input:
                 parser.error("Cannot use -se together with -pe1, -pe2, or -l")
@@ -269,35 +258,51 @@ class BaseCommandParser:
                 )
             options.paired = True
 
-        if options.input_read is None:
-            options.input_read = PAIRED if options.paired else SINGLE
+    def _open_sra(self, options):
+        """Stream directly from an SRA accession when the optional
+        srastream library is installed (reference
+        ``atropos/commands/cli.py:262-283``)."""
+        if options.format not in ("fastq", "sam", "bam", None):
+            raise ValueError(
+                "Invalid file format for SRA accession: {}".format(
+                    options.format
+                )
+            )
+        options.format = "fastq"
+        logging.getLogger().debug(
+            "Opening reader for SRA Accession %s", options.sra_accession
+        )
+        try:
+            from srastream import SraReader
 
-        if options.sample_id is None:
-            fname = os.path.basename(options.input1 or options.interleaved_input)
-            name = splitext_compressed(fname)[0]
-            if options.input2:
-                name2 = splitext_compressed(os.path.basename(options.input2))[0]
-                if name != name2:
-                    for i in range(min(len(name), len(name2))):
-                        if name[i] != name2[i]:
-                            name = name[:i]
-                            break
-            if name.endswith("."):
-                name = name[:-1]
-            options.sample_id = name
-
-        if options.quiet:
-            options.progress = None
-        elif options.progress and getattr(options, "output", None) == STDERR:
-            logging.getLogger().warning(
-                "Progress bar may corrupt output written to STDERR"
+            reader = SraReader(
+                options.sra_accession, batch_size=options.batch_size or 1000
+            )
+            reader.start()
+            options.sra_reader = reader
+            options.paired = reader.paired
+        except Exception:
+            logging.getLogger().exception(
+                "Error while fetching accession %s from SRA",
+                options.sra_accession,
+            )
+            self.parser.error(
+                "Unable to read from accession {}".format(
+                    options.sra_accession
+                )
             )
 
-        if options.report_file in (STDOUT, STDERR) and options.quiet:
-            logging.getLogger().warning(
-                "Quiet mode - report will not be written to stdout"
-            )
-            options.report_file = None
+    @staticmethod
+    def _derive_sample_id(options):
+        """Sample id = input basename without extensions; for pairs, the
+        common prefix of both names (reference behavior, one trailing
+        dot stripped)."""
+        fname = os.path.basename(options.input1 or options.interleaved_input)
+        name = splitext_compressed(fname)[0]
+        if options.input2:
+            other = splitext_compressed(os.path.basename(options.input2))[0]
+            name = os.path.commonprefix([name, other])
+        return name[:-1] if name.endswith(".") else name
 
     def validate_command_options(self, options):
         pass
@@ -447,10 +452,8 @@ def readwriteable_file(path):
 
 def readable_url(url):
     parsed = urllib.parse.urlparse(url)
-    scheme = parsed.scheme or "file"
-    if scheme == "file":
-        filename = readable_file(parsed.path)
-        return "file:" + filename
+    if (parsed.scheme or "file") == "file":
+        return "file:" + readable_file(parsed.path)
     return url
 
 
@@ -463,13 +466,10 @@ def int_or_str(arg):
     """int() that also accepts K/M/G magnitude suffixes."""
     if arg is None or isinstance(arg, int):
         return arg
-    elif isinstance(arg, str):
-        match = INT_OR_STR_RE.match(arg.upper())
-        num, mult = match.groups()
-        if mult:
-            return int(float(num) * MAGNITUDE[mult])
-        return int(num)
-    raise ValueError("Unsupported type {}".format(arg))
+    if not isinstance(arg, str):
+        raise ValueError("Unsupported type {}".format(arg))
+    num, mult = INT_OR_STR_RE.match(arg.upper()).groups()
+    return int(float(num) * MAGNITUDE.get(mult, 1))
 
 
 def configure_threads(options, parser):
@@ -477,21 +477,18 @@ def configure_threads(options, parser):
     (use the serial pipeline instead); debug mode is single-process only."""
     if options.debug:
         parser.error("Cannot use debug mode with multiple threads")
-    threads = options.threads
-    if threads <= 0:
-        threads = cpu_count()
-    elif threads == 1:
+    if options.threads == 1:
         parser.error("--threads must be >= 2")
-    options.threads = threads
-    return threads
+    options.threads = (
+        cpu_count() if options.threads <= 0 else options.threads
+    )
+    return options.threads
 
 
 def parse_stat_args(args_str):
-    args = {}
-    for arg in args_str.split(";"):
-        arg_parts = arg.split("=")
-        if len(arg_parts) == 1:
-            args[arg_parts[0]] = True
-        else:
-            args[arg_parts[0]] = arg_parts[1]
-    return args
+    """';'-separated key[=value] flags -> dict (bare keys become True)."""
+    parsed = {}
+    for part in args_str.split(";"):
+        key, eq, value = part.partition("=")
+        parsed[key] = value if eq else True
+    return parsed

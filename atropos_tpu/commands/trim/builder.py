@@ -4,51 +4,15 @@ Translates the CLI option namespace into the four pipeline pieces —
 modifier chain, filter chain, formatter table, writers — honoring the
 user's ``--op-order`` for the reorderable stages. Option semantics follow
 the reference build switch (``atropos/commands/trim/__init__.py:338-648``);
-the structure here is table-driven rather than a monolithic method.
+the structure here is table-driven (option->constructor maps and a
+filter/output registration table) rather than a monolithic method.
 """
 import sys
 
 from atropos_tpu.adapters import AdapterParser, BACK
-from atropos_tpu.commands.trim.filters import (
-    FilterFactory,
-    Filters,
-    MergedReadFilter,
-    NContentFilter,
-    NoFilter,
-    TooLongReadFilter,
-    TooShortReadFilter,
-    TrimmedFilter,
-    UntrimmedFilter,
-)
-from atropos_tpu.commands.trim.modifiers import (
-    AdapterCutter,
-    DoubleEncoder,
-    InsertAdapterCutter,
-    LengthTagModifier,
-    MergeOverlapping,
-    MinCutter,
-    NEndTrimmer,
-    NextseqQualityTrimmer,
-    NonDirectionalBisulfiteTrimmer,
-    OverwriteRead,
-    PairedEndModifiers,
-    PrefixSuffixAdder,
-    PrimerTrimmer,
-    QualityTrimmer,
-    RRBSTrimmer,
-    SingleEndModifiers,
-    SuffixRemover,
-    SwiftBisulfiteTrimmer,
-    UnconditionalCutter,
-    ZeroCapper,
-)
-from atropos_tpu.commands.trim.writers import (
-    Formatters,
-    InfoFormatter,
-    RestFormatter,
-    WildcardFormatter,
-    Writers,
-)
+from atropos_tpu.commands.trim import filters as filt
+from atropos_tpu.commands.trim import modifiers as mod
+from atropos_tpu.commands.trim import writers as wrt
 from atropos_tpu.io import STDOUT
 from atropos_tpu.util import RandomMatchProbability
 
@@ -72,6 +36,19 @@ class TrimStackBuilder:
 
     # -- adapters -------------------------------------------------------------
 
+    #: AdapterParser constructor argument -> options attribute
+    _PARSER_OPTION_MAP = (
+        ("colorspace", "colorspace"),
+        ("max_error_rate", "error_rate"),
+        ("min_overlap", "overlap"),
+        ("read_wildcards", "match_read_wildcards"),
+        ("adapter_wildcards", "match_adapter_wildcards"),
+        ("indels", "indels"),
+        ("indel_cost", "indel_cost"),
+        ("gc_content", "gc_content"),
+        ("alphabet", "alphabet"),
+    )
+
     def parse_adapters(self):
         options = self.options
         specs1 = (options.adapters, options.anywhere, options.front)
@@ -80,18 +57,11 @@ class TrimStackBuilder:
             return
 
         cache = self.runner.load_known_adapters()
-        parser_args = dict(
-            colorspace=options.colorspace,
-            max_error_rate=options.error_rate,
-            min_overlap=options.overlap,
-            read_wildcards=options.match_read_wildcards,
-            adapter_wildcards=options.match_adapter_wildcards,
-            indels=options.indels,
-            indel_cost=options.indel_cost,
-            cache=cache,
-            gc_content=options.gc_content,
-            match_probability=self.match_probability,
-            alphabet=options.alphabet,
+        parser_args = {
+            arg: getattr(options, opt) for arg, opt in self._PARSER_OPTION_MAP
+        }
+        parser_args.update(
+            cache=cache, match_probability=self.match_probability
         )
         if options.adapter_max_rmp:
             parser_args["max_rmp"] = options.adapter_max_rmp
@@ -121,55 +91,54 @@ class TrimStackBuilder:
     def _nothing_else_to_do(self):
         """True when no option implies any modification or filtering."""
         options = self.options
-        return (
-            not options.quality_cutoff
-            and options.nextseq_trim is None
-            and options.cut == []
-            and options.cut2 == []
-            and options.cut_min == []
-            and options.cut_min2 == []
-            and (options.minimum_length is None or options.minimum_length <= 0)
-            and options.maximum_length == sys.maxsize
-            and not options.trim_n
-            and not self.runner.has_qualfile
-            and options.max_n is None
-            and (not options.paired or options.overwrite_low_quality is None)
+        implied_work = (
+            bool(options.quality_cutoff),
+            options.nextseq_trim is not None,
+            bool(options.cut or options.cut2),
+            bool(options.cut_min or options.cut_min2),
+            options.minimum_length is not None and options.minimum_length > 0,
+            options.maximum_length < sys.maxsize,
+            bool(options.trim_n),
+            bool(self.runner.has_qualfile),
+            options.max_n is not None,
+            bool(options.paired and options.overwrite_low_quality),
         )
+        return not any(implied_work)
 
     # -- modifiers --------------------------------------------------------------
 
     def build_modifiers(self):
         options = self.options
-        modifiers = (
-            PairedEndModifiers(options.paired)
+        chain = (
+            mod.PairedEndModifiers(options.paired)
             if options.paired
-            else SingleEndModifiers()
+            else mod.SingleEndModifiers()
         )
         for opcode in options.op_order:
-            self._OP_STAGES[opcode](self, modifiers)
+            self._OP_STAGES[opcode](self, chain)
         for stage in self._FIXED_STAGES:
-            stage(self, modifiers)
-        return modifiers
+            stage(self, chain)
+        return chain
 
-    def _op_overwrite(self, modifiers):
+    def _op_overwrite(self, chain):
         if not self.options.overwrite_low_quality:
             return
         lowq, highq, window = self.options.overwrite_low_quality
-        modifiers.add_modifier(
-            OverwriteRead,
+        chain.add_modifier(
+            mod.OverwriteRead,
             worse_read_min_quality=lowq,
             better_read_min_quality=highq,
             window_size=window,
             base=self.options.quality_base,
         )
 
-    def _op_adapters(self, modifiers):
+    def _op_adapters(self, chain):
         options = self.options
         if not (self.adapters1 or self.adapters2):
             return
         if options.aligner == "insert":
-            modifiers.add_modifier(
-                InsertAdapterCutter,
+            chain.add_modifier(
+                mod.InsertAdapterCutter,
                 adapter1=self.adapters1[0],
                 adapter2=self.adapters2[0],
                 action=options.action,
@@ -190,32 +159,32 @@ class TrimStackBuilder:
                 adapters=adapters, times=options.times, action=options.action
             )
 
-        modifiers.add_modifier_pair(
-            AdapterCutter,
+        chain.add_modifier_pair(
+            mod.AdapterCutter,
             cutter_args(self.adapters1),
             cutter_args(self.adapters2),
         )
 
-    def _op_cut(self, modifiers):
+    def _op_cut(self, chain):
         if self.options.cut or self.options.cut2:
-            modifiers.add_modifier_pair(
-                UnconditionalCutter,
+            chain.add_modifier_pair(
+                mod.UnconditionalCutter,
                 dict(lengths=self.options.cut),
                 dict(lengths=self.options.cut2),
             )
 
-    def _op_nextseq(self, modifiers):
+    def _op_nextseq(self, chain):
         if self.options.nextseq_trim is not None:
-            modifiers.add_modifier(
-                NextseqQualityTrimmer,
+            chain.add_modifier(
+                mod.NextseqQualityTrimmer,
                 cutoff=self.options.nextseq_trim,
                 base=self.options.quality_base,
             )
 
-    def _op_quality(self, modifiers):
+    def _op_quality(self, chain):
         if self.options.quality_cutoff:
-            modifiers.add_modifier(
-                QualityTrimmer,
+            chain.add_modifier(
+                mod.QualityTrimmer,
                 cutoff_front=self.options.quality_cutoff[0],
                 cutoff_back=self.options.quality_cutoff[1],
                 base=self.options.quality_base,
@@ -231,66 +200,70 @@ class TrimStackBuilder:
 
     # stages with a fixed position after the reorderable block
 
-    def _stage_bisulfite(self, modifiers):
+    def _stage_bisulfite(self, chain):
         preset = self.options.bisulfite
         if not preset:
             return
         if isinstance(preset, str):
             if "non-directional" in preset:
-                modifiers.add_modifier(
-                    NonDirectionalBisulfiteTrimmer,
+                chain.add_modifier(
+                    mod.NonDirectionalBisulfiteTrimmer,
                     rrbs=preset == "non-directional-rrbs",
                 )
             elif preset == "rrbs":
-                modifiers.add_modifier(RRBSTrimmer)
+                chain.add_modifier(mod.RRBSTrimmer)
             elif preset == "swift":
-                modifiers.add_modifier(SwiftBisulfiteTrimmer)
+                chain.add_modifier(mod.SwiftBisulfiteTrimmer)
             # 'epignome'/'truseq': trimming leads to worse results — no-op
             return
         if preset[0]:
-            modifiers.add_modifier(MinCutter, read=1, **preset[0])
+            chain.add_modifier(mod.MinCutter, read=1, **preset[0])
         if len(preset) > 1 and preset[1]:
-            modifiers.add_modifier(MinCutter, read=2, **preset[1])
+            chain.add_modifier(mod.MinCutter, read=2, **preset[1])
 
-    def _stage_trim_n(self, modifiers):
+    def _stage_trim_n(self, chain):
         if self.options.trim_n:
-            modifiers.add_modifier(NEndTrimmer)
+            chain.add_modifier(mod.NEndTrimmer)
 
-    def _stage_cut_min(self, modifiers):
+    def _stage_cut_min(self, chain):
         if self.options.cut_min or self.options.cut_min2:
-            modifiers.add_modifier_pair(
-                MinCutter,
+            chain.add_modifier_pair(
+                mod.MinCutter,
                 dict(lengths=self.options.cut_min),
                 dict(lengths=self.options.cut_min2),
             )
 
-    def _stage_names(self, modifiers):
+    def _stage_names(self, chain):
         options = self.options
         if options.length_tag:
-            modifiers.add_modifier(
-                LengthTagModifier, length_tag=options.length_tag
+            chain.add_modifier(
+                mod.LengthTagModifier, length_tag=options.length_tag
             )
         if options.strip_suffix:
-            modifiers.add_modifier(SuffixRemover, suffixes=options.strip_suffix)
+            chain.add_modifier(mod.SuffixRemover, suffixes=options.strip_suffix)
         if options.prefix or options.suffix:
-            modifiers.add_modifier(
-                PrefixSuffixAdder, prefix=options.prefix, suffix=options.suffix
+            chain.add_modifier(
+                mod.PrefixSuffixAdder,
+                prefix=options.prefix,
+                suffix=options.suffix,
             )
 
-    def _stage_colorspace(self, modifiers):
+    def _stage_colorspace(self, chain):
         options = self.options
         if options.double_encode:
-            modifiers.add_modifier(DoubleEncoder)
+            chain.add_modifier(mod.DoubleEncoder)
         if options.zero_cap and self.runner.delivers_qualities:
-            modifiers.add_modifier(ZeroCapper, quality_base=options.quality_base)
+            chain.add_modifier(
+                mod.ZeroCapper, quality_base=options.quality_base
+            )
         if options.trim_primer:
-            modifiers.add_modifier(PrimerTrimmer)
+            chain.add_modifier(mod.PrimerTrimmer)
 
-    def _stage_merge(self, modifiers):
+    def _stage_merge(self, chain):
         options = self.options
         if options.merge_overlapping:
-            modifiers.add_modifier(
-                MergeOverlapping,
+            chain.add_modifier(
+                mod.MergeOverlapping,
                 min_overlap=options.merge_min_overlap,
                 error_rate=options.merge_error_rate,
                 mismatch_action=options.correct_mismatches,
@@ -307,10 +280,47 @@ class TrimStackBuilder:
 
     # -- filters / formatters / writers ---------------------------------------------
 
+    def _filter_registrations(self):
+        """Filter-priority registration table: one row per category, in
+        the reference's fixed order — (enabled, filter type, filter args,
+        attach-output?, output paths)."""
+        options = self.options
+        return (
+            (
+                bool(options.merge_overlapping),
+                filt.MergedReadFilter, (),
+                bool(options.merged_output),
+                (options.merged_output,),
+            ),
+            (
+                options.minimum_length is not None
+                and options.minimum_length > 0,
+                filt.TooShortReadFilter, (options.minimum_length,),
+                bool(options.too_short_output),
+                (options.too_short_output, options.too_short_paired_output),
+            ),
+            (
+                options.maximum_length < sys.maxsize,
+                filt.TooLongReadFilter, (options.maximum_length,),
+                options.too_long_output is not None,
+                (options.too_long_output, options.too_long_paired_output),
+            ),
+            (
+                options.max_n is not None,
+                filt.NContentFilter, (options.max_n,),
+                False, (),
+            ),
+            (
+                bool(options.discard_trimmed),
+                filt.TrimmedFilter, (),
+                False, (),
+            ),
+        )
+
     def build_output_stack(self):
         options = self.options
         min_affected = 2 if options.pair_filter == "both" else 1
-        filters = Filters(FilterFactory(options.paired, min_affected))
+        chain = filt.Filters(filt.FilterFactory(options.paired, min_affected))
 
         if options.interleaved_output:
             output1, output2 = options.interleaved_output, None
@@ -319,7 +329,7 @@ class TrimStackBuilder:
             output1, output2 = options.output, options.paired_output
             interleaved = False
 
-        formatters = Formatters(
+        formatters = wrt.Formatters(
             output1,
             dict(
                 qualities=self.runner.delivers_qualities,
@@ -329,69 +339,50 @@ class TrimStackBuilder:
         )
         force_create = []
 
-        # filters register in a fixed priority order; a formatter is
-        # attached wherever the user asked to keep that category
-        if options.merge_overlapping:
-            filters.add_filter(MergedReadFilter)
-            if options.merged_output:
-                formatters.add_seq_formatter(
-                    MergedReadFilter, options.merged_output
-                )
-        if options.minimum_length is not None and options.minimum_length > 0:
-            filters.add_filter(TooShortReadFilter, options.minimum_length)
-            if options.too_short_output:
-                formatters.add_seq_formatter(
-                    TooShortReadFilter,
-                    options.too_short_output,
-                    options.too_short_paired_output,
-                )
-        if options.maximum_length < sys.maxsize:
-            filters.add_filter(TooLongReadFilter, options.maximum_length)
-            if options.too_long_output is not None:
-                formatters.add_seq_formatter(
-                    TooLongReadFilter,
-                    options.too_long_output,
-                    options.too_long_paired_output,
-                )
-        if options.max_n is not None:
-            filters.add_filter(NContentFilter, options.max_n)
-        if options.discard_trimmed:
-            filters.add_filter(TrimmedFilter)
+        for enabled, ftype, fargs, attach, outputs in self._filter_registrations():
+            if not enabled:
+                continue
+            chain.add_filter(ftype, *fargs)
+            if attach:
+                formatters.add_seq_formatter(ftype, *outputs)
+
+        keep_untrimmed = not options.discard_untrimmed
+
+        def register_main(path1, path2=None):
+            formatters.add_seq_formatter(filt.NoFilter, path1, path2)
+            if path1 != STDOUT and options.writer_process:
+                force_create.append(path1)
+                if path2 is not None:
+                    force_create.append(path2)
 
         if not formatters.multiplexed:
             if output1 is not None:
-                formatters.add_seq_formatter(NoFilter, output1, output2)
-                if output1 != STDOUT and options.writer_process:
-                    force_create.append(output1)
-                    if output2 is not None:
-                        force_create.append(output2)
+                register_main(output1, output2)
             elif not (options.discard_trimmed and options.untrimmed_output):
-                formatters.add_seq_formatter(NoFilter, options.default_outfile)
-                if options.default_outfile != STDOUT and options.writer_process:
-                    force_create.append(options.default_outfile)
+                register_main(options.default_outfile)
 
         if options.discard_untrimmed or options.untrimmed_output:
-            filters.add_filter(UntrimmedFilter)
-        if not options.discard_untrimmed:
+            chain.add_filter(filt.UntrimmedFilter)
+        if keep_untrimmed:
             if formatters.multiplexed:
                 untrimmed = (
                     options.untrimmed_output or output1.format(name="unknown")
                 )
-                formatters.add_seq_formatter(UntrimmedFilter, untrimmed)
-                formatters.add_seq_formatter(NoFilter, untrimmed)
+                formatters.add_seq_formatter(filt.UntrimmedFilter, untrimmed)
+                formatters.add_seq_formatter(filt.NoFilter, untrimmed)
             elif options.untrimmed_output:
                 formatters.add_seq_formatter(
-                    UntrimmedFilter,
+                    filt.UntrimmedFilter,
                     options.untrimmed_output,
                     options.untrimmed_paired_output,
                 )
 
         for option_value, formatter_class in (
-            (options.rest_file, RestFormatter),
-            (options.info_file, InfoFormatter),
-            (options.wildcard_file, WildcardFormatter),
+            (options.rest_file, wrt.RestFormatter),
+            (options.info_file, wrt.InfoFormatter),
+            (options.wildcard_file, wrt.WildcardFormatter),
         ):
             if option_value:
                 formatters.add_info_formatter(formatter_class(option_value))
 
-        return filters, formatters, Writers(force_create)
+        return chain, formatters, wrt.Writers(force_create)

@@ -1219,7 +1219,17 @@ class _InsertPair:
             rows = rows1 + rows2
             for extra in extras1 + extras2:
                 rows.append(extra[None, :].astype(jnp.int32))
-            rows.append(counts)
+            if w_ins <= 255:
+                # counts fit a byte: pack two diagonals per int16 row
+                # (biased into int16 range to survive the bundle clip)
+                c = counts
+                if w_ins % 2:
+                    c = jnp.concatenate(
+                        [c, jnp.zeros((1, c.shape[1]), c.dtype)]
+                    )
+                rows.append((c[0::2] | (c[1::2] << 8)) - 32768)
+            else:
+                rows.append(counts)
             if sharded:
                 rows.append(
                     _MateLane._stats_rows(jax, jnp, rows, 2, m_col)
@@ -1278,7 +1288,15 @@ class _InsertPair:
             )
         cursor += n2e
         w_ins = min(tok1.width, tok2.width)
-        counts = arr[cursor : cursor + w_ins]
+        if w_ins <= 255:
+            n_rows = (w_ins + 1) // 2
+            packed = arr[cursor : cursor + n_rows] + 32768
+            counts = np.empty((n_rows * 2, batch), np.int32)
+            counts[0::2] = packed & 0xFF
+            counts[1::2] = packed >> 8
+            counts = counts[:w_ins]
+        else:
+            counts = arr[cursor : cursor + w_ins]
 
         if self._sharded:
             from atropos_tpu.parallel import SHARD_COUNTS

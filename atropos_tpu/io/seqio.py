@@ -6,9 +6,14 @@ tracks bases cut before/after adapter matching at each end, which feeds
 MinCutter and the info-file output; output formatting is byte-compatible
 with the reference formatters (``atropos/io/seqio.py:642-764``).
 
-The device path converts streams of these records into struct-of-array
-batches (:mod:`atropos_tpu.io.batch`); names and rare metadata stay
-host-side, sequence/quality bytes go to the TPU.
+Unlike the reference (per-line Python parsing, ``_seqio.pyx:163-245``),
+the object-level FASTQ reader here runs on the same native C chunk
+parser the turbo path uses (:mod:`atropos_tpu.runtime`): records are
+indexed in bulk and materialized as :class:`Sequence` objects from the
+chunk buffer. A compact line-mode parser remains for file-like inputs
+and as the error-reporting authority (its messages match the reference
+byte for byte — including the reference's quirk of reporting the
+4-line-cycle position, not the absolute line number).
 """
 import sys
 
@@ -122,21 +127,14 @@ class Sequence:
         """Copy with sequence reverse-complemented and qualities reversed."""
         import copy as _copy
 
-        sequence = reverse_complement(self.sequence)
-        qualities = None
-        match_info = None
-        if self.qualities:
-            qualities = self.qualities[::-1]
-        if self.match_info:
-            match_info = [_copy.copy(m) for m in self.match_info]
-        new_read = self.__class__(
+        flipped = self.__class__(
             self.name,
-            sequence,
-            qualities,
+            reverse_complement(self.sequence),
+            self.qualities[::-1] if self.qualities else None,
             self.name2,
             self.original_length,
             None,
-            match_info,
+            [_copy.copy(m) for m in self.match_info] if self.match_info else None,
             list(self.clipped),
             self.insert_overlap,
             self.merged,
@@ -144,9 +142,9 @@ class Sequence:
         )
         if self.match:
             match = self.match.copy()
-            match.read = new_read
-            new_read.match = match
-        return new_read
+            match.read = flipped
+            flipped.match = match
+        return flipped
 
     def __getitem__(self, key):
         return self.__class__(
@@ -163,12 +161,15 @@ class Sequence:
             self.corrected,
         )
 
+    def _qual_repr(self):
+        if self.qualities is None:
+            return ""
+        return ", qualities={0!r}".format(truncate_string(self.qualities))
+
     def __repr__(self):
-        qstr = ""
-        if self.qualities is not None:
-            qstr = ", qualities={0!r}".format(truncate_string(self.qualities))
         return "<Sequence(name={0!r}, sequence={1!r}{2})>".format(
-            truncate_string(self.name), truncate_string(self.sequence), qstr
+            truncate_string(self.name), truncate_string(self.sequence),
+            self._qual_repr(),
         )
 
     def __len__(self):
@@ -239,11 +240,9 @@ class ColorspaceSequence(Sequence):
             )
 
     def __repr__(self):
-        qstr = ""
-        if self.qualities is not None:
-            qstr = ", qualities={0!r}".format(truncate_string(self.qualities))
         return "<ColorspaceSequence(name={0!r}, primer={1!r}, sequence={2!r}{3})>".format(
-            truncate_string(self.name), self.primer, truncate_string(self.sequence), qstr
+            truncate_string(self.name), self.primer,
+            truncate_string(self.sequence), self._qual_repr(),
         )
 
     def __getitem__(self, key):
@@ -279,17 +278,29 @@ class SequenceReaderBase(Summarizable):
     """Interface: input_names, input_read, file_format, delivers_qualities,
     has_qualfile, quality_base, colorspace, interleaved."""
 
+    _SUMMARY_FIELDS = (
+        "input_names", "input_read", "file_format", "delivers_qualities",
+        "quality_base", "has_qualfile", "colorspace", "interleaved",
+    )
+
     def summarize(self):
-        return dict(
-            input_names=self.input_names,
-            input_read=self.input_read,
-            file_format=self.file_format,
-            delivers_qualities=self.delivers_qualities,
-            quality_base=self.quality_base,
-            has_qualfile=self.has_qualfile,
-            colorspace=self.colorspace,
-            interleaved=self.interleaved,
-        )
+        return {field: getattr(self, field) for field in self._SUMMARY_FIELDS}
+
+    def close(self):  # pragma: no cover - overridden where needed
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args):
+        self.close()
+
+
+def _close_owned(reader):
+    """Close a reader's underlying file iff the reader opened it."""
+    if reader._close_on_exit and reader._file is not None:
+        reader._file.close()
+        reader._file = None
 
 
 class SequenceReader(SequenceReaderBase):
@@ -310,10 +321,7 @@ class SequenceReader(SequenceReaderBase):
             self._file = xopen(path, mode)
             self._close_on_exit = True
         else:
-            if hasattr(path, "name"):
-                self.name = path.name
-            else:
-                self.name = path.__class__
+            self.name = getattr(path, "name", path.__class__)
             self._file = path
 
     @property
@@ -321,17 +329,12 @@ class SequenceReader(SequenceReaderBase):
         return (self.name, None)
 
     def close(self):
-        if self._close_on_exit and self._file is not None:
-            self._file.close()
-            self._file = None
+        _close_owned(self)
 
     def __enter__(self):
         if self._file is None:
             raise ValueError("I/O operation on closed SequenceReader")
         return self
-
-    def __exit__(self, *args):
-        self.close()
 
 
 class FileWithPrependedLine:
@@ -350,8 +353,7 @@ class FileWithPrependedLine:
 
     def __iter__(self):
         yield self.first_line
-        for line in self._file:
-            yield line
+        yield from self._file
 
     def close(self):
         self._file.close()
@@ -359,83 +361,170 @@ class FileWithPrependedLine:
 
 class FastqReader(SequenceReader):
     """4-line FASTQ parser (no multi-line records), CR/LF tolerant, with
-    second-header consistency validation."""
+    second-header consistency validation.
+
+    Path inputs stream through the native C chunk parser
+    (``runtime/fastq.cpp``) when it is available — records are indexed in
+    bulk, then materialized from the buffer. File-like inputs, and any
+    malformed region, use the line-mode parser (whose diagnostics match
+    the reference byte for byte)."""
 
     file_format = "FASTQ"
     delivers_qualities = True
+    _CHUNK = 16 * 1024 * 1024
 
     def __init__(self, filename, quality_base=33, sequence_class=Sequence, alphabet=None):
-        super().__init__(filename, quality_base=quality_base, alphabet=alphabet)
+        from atropos_tpu import runtime
+
+        self._native = runtime.available() and isinstance(filename, str)
+        super().__init__(
+            filename,
+            mode="rb" if self._native else "r",
+            quality_base=quality_base,
+            alphabet=alphabet,
+        )
         self.sequence_class = sequence_class
 
     def __iter__(self):
-        sequence_class = self.sequence_class
+        if self._native:
+            return self._iter_native()
+        return self._iter_lines(iter(self._file))
+
+    # -- native chunked path ---------------------------------------------------
+
+    def _iter_native(self):
+        from atropos_tpu import runtime
+
+        carry = b""
+        at_eof = False
+        while not at_eof:
+            data = self._file.read(self._CHUNK)
+            at_eof = not data
+            buf = carry + data
+            if at_eof:
+                # the tail (possibly missing its final newline, possibly
+                # malformed) goes through the line parser, which is the
+                # error-reporting authority
+                if buf:
+                    import io
+
+                    yield from self._iter_lines(
+                        io.StringIO(buf.decode("latin-1"))
+                    )
+                return
+            try:
+                chunk = runtime.parse_chunk(buf)
+            except runtime.FastqParseError:
+                chunk = None
+            if chunk is None or (chunk.n == 0 and len(buf) > self._CHUNK):
+                # malformed (or a pathologically huge record): replay
+                # everything from here through the line parser
+                import io
+
+                remainder = buf + self._file.read()
+                yield from self._iter_lines(
+                    io.StringIO(remainder.decode("latin-1"))
+                )
+                return
+            yield from self._records_of_chunk(chunk)
+            carry = buf[chunk.consumed:]
+
+    def _records_of_chunk(self, chunk):
+        text = chunk.buf.tobytes().decode("latin-1")
+        make = self.sequence_class
         alphabet = self.alphabet
-
-        it = iter(self._file)
-        try:
-            line = next(it)
-        except StopIteration:
-            return
-        if not (line and line[0] == "@"):
-            raise FormatError(
-                "Line 1 in FASTQ file is expected to start with '@', but "
-                "found {0!r}".format(line[:10])
+        name_off = chunk.name_off
+        name_end = name_off + chunk.name_len
+        seq_off = chunk.seq_off
+        seq_end = seq_off + chunk.seq_len
+        plus_off = chunk.plus_off
+        plus_len = chunk.plus_len
+        qual_off = chunk.qual_off
+        qual_end = qual_off + chunk.qual_len
+        for i in range(chunk.n):
+            name = text[name_off[i]:name_end[i]]
+            if plus_len[i]:
+                name2 = text[plus_off[i]:plus_off[i] + plus_len[i]]
+                if name2 != name:
+                    raise FormatError(
+                        "At line 3: Sequence descriptions in the "
+                        "FASTQ file don't match ({0!r} != {1!r}).\n"
+                        "The second sequence description must be "
+                        "either empty or equal to the first "
+                        "description.".format(name, name2)
+                    )
+            else:
+                name2 = ""
+            yield make(
+                name,
+                text[seq_off[i]:seq_end[i]],
+                text[qual_off[i]:qual_end[i]],
+                name2=name2,
+                alphabet=alphabet,
             )
-        strip = -2 if line.endswith("\r\n") else -1
-        name = line[1:strip]
 
-        i = 1
-        name2 = ""
-        sequence = ""
-        for line in it:
-            if i == 0:
-                if not (line and line[0] == "@"):
-                    raise FormatError(
-                        "Line {0} in FASTQ file is expected to start with "
-                        "'@', but found {1!r}".format(i + 1, line[:10])
-                    )
-                name = line[1:strip]
-            elif i == 1:
-                sequence = line[:strip]
-            elif i == 2:
-                if line == "+\n":
-                    name2 = ""
-                else:
-                    line = line[:strip]
-                    if not (line and line[0] == "+"):
-                        raise FormatError(
-                            "Line {0} in FASTQ file is expected to start "
-                            "with '+', but found {1!r}".format(i + 1, line[:10])
-                        )
-                    if len(line) > 1:
-                        if not line[1:] == name:
-                            raise FormatError(
-                                "At line {0}: Sequence descriptions in the "
-                                "FASTQ file don't match ({1!r} != {2!r}).\n"
-                                "The second sequence description must be "
-                                "either empty or equal to the first "
-                                "description.".format(i + 1, name, line[1:])
-                            )
-                        name2 = name
-                    else:
-                        name2 = ""
-            elif i == 3:
-                if len(line) == len(sequence) - strip:
-                    qualities = line[:strip]
-                else:
-                    qualities = line.rstrip("\r\n")
-                try:
-                    yield sequence_class(
-                        name, sequence, qualities, name2=name2, alphabet=alphabet
-                    )
-                except Exception as err:
-                    raise FormatError(
-                        "Error creating sequence record at line {}".format(i + 1)
-                    ) from err
-            i = (i + 1) % 4
-        if i != 0:
-            raise FormatError("FASTQ file ended prematurely")
+    # -- line-mode path --------------------------------------------------------
+
+    def _iter_lines(self, lines):
+        """4-lines-per-record parser. Diagnostics reproduce the reference
+        byte for byte — including its quirk of reporting the position in
+        the 4-line cycle ("Line 1"/"Line 3"/"line 4"), not the absolute
+        line number (``atropos/io/_seqio.pyx:163-245``)."""
+        make = self.sequence_class
+        alphabet = self.alphabet
+        head = next(lines, None)
+        if head is None:
+            return
+        eol = -2 if head.endswith("\r\n") else -1
+        while head is not None:
+            if not head.startswith("@"):
+                raise FormatError(
+                    "Line 1 in FASTQ file is expected to start with '@', "
+                    "but found {0!r}".format(head[:10])
+                )
+            seq_line = next(lines, None)
+            plus_line = next(lines, None) if seq_line is not None else None
+            qual_line = next(lines, None) if plus_line is not None else None
+            if qual_line is None:
+                raise FormatError("FASTQ file ended prematurely")
+            name = head[1:eol]
+            sequence = seq_line[:eol]
+            name2 = self._second_header(plus_line, name, eol)
+            if len(qual_line) == len(sequence) - eol:
+                qualities = qual_line[:eol]
+            else:
+                qualities = qual_line.rstrip("\r\n")
+            try:
+                yield make(
+                    name, sequence, qualities, name2=name2, alphabet=alphabet
+                )
+            except Exception as err:
+                raise FormatError(
+                    "Error creating sequence record at line 4"
+                ) from err
+            head = next(lines, None)
+
+    @staticmethod
+    def _second_header(line, name, eol):
+        if line == "+\n":
+            return ""
+        payload = line[:eol]
+        if not payload.startswith("+"):
+            raise FormatError(
+                "Line 3 in FASTQ file is expected to start "
+                "with '+', but found {0!r}".format(payload[:10])
+            )
+        if len(payload) == 1:
+            return ""
+        if payload[1:] != name:
+            raise FormatError(
+                "At line 3: Sequence descriptions in the "
+                "FASTQ file don't match ({0!r} != {1!r}).\n"
+                "The second sequence description must be "
+                "either empty or equal to the first "
+                "description.".format(name, payload[1:])
+            )
+        return name
 
 
 class FastaReader(SequenceReader):
@@ -449,33 +538,31 @@ class FastaReader(SequenceReader):
         self._delimiter = "\n" if keep_linebreaks else ""
 
     def __iter__(self):
-        name = None
-        seq = []
-        for i, line in enumerate(self._file):
-            line = line.strip()
-            if not line:
+        pending = None
+        parts = []
+        for lineno, raw in enumerate(self._file, 1):
+            stripped = raw.strip()
+            if not stripped or stripped.startswith("#"):
                 continue
-            if line[0] == ">":
-                if name is not None:
-                    yield self.sequence_class(
-                        name, self._delimiter.join(seq), None, alphabet=self.alphabet
-                    )
-                name = line[1:]
-                seq = []
-            elif line[0] == "#":
-                continue
-            elif name is not None:
-                seq.append(line)
-            else:
+            if stripped.startswith(">"):
+                if pending is not None:
+                    yield self._make(pending, parts)
+                pending = stripped[1:]
+                parts = []
+            elif pending is None:
                 raise FormatError(
                     "At line {0}: Expected '>' at beginning of FASTA record, "
-                    "but got {1!r}.".format(i + 1, truncate_string(line))
+                    "but got {1!r}.".format(lineno, truncate_string(stripped))
                 )
+            else:
+                parts.append(stripped)
+        if pending is not None:
+            yield self._make(pending, parts)
 
-        if name is not None:
-            yield self.sequence_class(
-                name, self._delimiter.join(seq), None, alphabet=self.alphabet
-            )
+    def _make(self, name, parts):
+        return self.sequence_class(
+            name, self._delimiter.join(parts), None, alphabet=self.alphabet
+        )
 
 
 class ColorspaceFastaReader(FastaReader):
@@ -507,6 +594,10 @@ class SRAColorspaceFastqReader(FastqReader):
         )
 
 
+# phred values as they appear in .qual files -> phred+33 ASCII
+_QUAL_TO_ASCII = {str(q): chr(q + 33) for q in range(-5, 256 - 33)}
+
+
 class FastaQualReader(SequenceReaderBase):
     """Paired .(CS)FASTA + .QUAL file reader."""
 
@@ -529,37 +620,28 @@ class FastaQualReader(SequenceReaderBase):
         return ((self.fastareader.name, self.qualreader.name), None)
 
     def __iter__(self):
-        conv = dict()
-        for i in range(-5, 256 - 33):
-            conv[str(i)] = chr(i + 33)
-        for fastaread, qualread in zip(self.fastareader, self.qualreader):
-            if fastaread.name != qualread.name:
+        for bases, quals in zip(self.fastareader, self.qualreader):
+            if bases.name != quals.name:
                 raise FormatError(
                     "The read names in the FASTA and QUAL file do not match "
-                    "({0!r} != {1!r})".format(fastaread.name, qualread.name)
+                    "({0!r} != {1!r})".format(bases.name, quals.name)
                 )
             try:
                 qualities = "".join(
-                    [conv[value] for value in qualread.sequence.split()]
+                    _QUAL_TO_ASCII[value] for value in quals.sequence.split()
                 )
             except KeyError as err:
                 raise FormatError(
                     "Within read named {0!r}: Found invalid quality "
-                    "value {1}".format(fastaread.name, err)
+                    "value {1}".format(bases.name, err)
                 )
             yield self.sequence_class(
-                fastaread.name, fastaread.sequence, qualities, alphabet=self.alphabet
+                bases.name, bases.sequence, qualities, alphabet=self.alphabet
             )
 
     def close(self):
         self.fastareader.close()
         self.qualreader.close()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *args):
-        self.close()
 
 
 class ColorspaceFastaQualReader(FastaQualReader):
@@ -574,12 +656,11 @@ class ColorspaceFastaQualReader(FastaQualReader):
 
 def sequence_names_match(read1, read2):
     """Pair-name check ignoring a trailing 1/2 mate indicator."""
-    name1 = read1.name.split(None, 1)[0]
-    name2 = read2.name.split(None, 1)[0]
-    if name1[-1:] in "12" and name2[-1:] in "12":
-        name1 = name1[:-1]
-        name2 = name2[:-1]
-    return name1 == name2
+    token1 = read1.name.split(None, 1)[0]
+    token2 = read2.name.split(None, 1)[0]
+    if token1[-1:] in "12" and token2[-1:] in "12":
+        return token1[:-1] == token2[:-1]
+    return token1 == token2
 
 
 class PairedSequenceReader(SequenceReaderBase):
@@ -589,14 +670,12 @@ class PairedSequenceReader(SequenceReaderBase):
     interleaved = False
 
     def __init__(self, file1, file2, quality_base=33, colorspace=False, file_format=None, alphabet=None):
-        self.reader1 = open_reader(
-            file1, colorspace=colorspace, quality_base=quality_base,
+        common = dict(
+            colorspace=colorspace, quality_base=quality_base,
             file_format=file_format, alphabet=alphabet,
         )
-        self.reader2 = open_reader(
-            file2, colorspace=colorspace, quality_base=quality_base,
-            file_format=file_format, alphabet=alphabet,
-        )
+        self.reader1 = open_reader(file1, **common)
+        self.reader2 = open_reader(file2, **common)
 
     @property
     def input_names(self):
@@ -606,23 +685,18 @@ class PairedSequenceReader(SequenceReaderBase):
         return getattr(self.reader1, name)
 
     def __iter__(self):
-        it1, it2 = iter(self.reader1), iter(self.reader2)
-        while True:
-            try:
-                read1 = next(it1)
-            except StopIteration:
-                try:
-                    next(it2)
-                    raise FormatError(
-                        "Reads are improperly paired. There are more reads in "
-                        "file 2 than in file 1."
-                    )
-                except StopIteration:
-                    pass
-                break
-            try:
-                read2 = next(it2)
-            except StopIteration:
+        from itertools import zip_longest
+
+        missing = object()
+        for read1, read2 in zip_longest(
+            self.reader1, self.reader2, fillvalue=missing
+        ):
+            if read1 is missing:
+                raise FormatError(
+                    "Reads are improperly paired. There are more reads in "
+                    "file 2 than in file 1."
+                )
+            if read2 is missing:
                 raise FormatError(
                     "Reads are improperly paired. There are more reads in "
                     "file 1 than in file 2."
@@ -637,12 +711,6 @@ class PairedSequenceReader(SequenceReaderBase):
     def close(self):
         self.reader1.close()
         self.reader2.close()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *args):
-        self.close()
 
 
 class InterleavedSequenceReader(SequenceReaderBase):
@@ -663,9 +731,8 @@ class InterleavedSequenceReader(SequenceReaderBase):
     def __iter__(self):
         itr = iter(self.reader)
         for read1 in itr:
-            try:
-                read2 = next(itr)
-            except StopIteration:
+            read2 = next(itr, None)
+            if read2 is None:
                 raise FormatError(
                     "Interleaved input file incomplete: Last record has no "
                     "partner."
@@ -679,12 +746,6 @@ class InterleavedSequenceReader(SequenceReaderBase):
 
     def close(self):
         self.reader.close()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *args):
-        self.close()
 
 
 class SAMReader(SequenceReaderBase):
@@ -701,7 +762,7 @@ class SAMReader(SequenceReaderBase):
         if isinstance(path, str):
             path = xopen(path, "rb")
             self._close_on_exit = True
-        self.name = path.name if hasattr(path, "name") else str(path)
+        self.name = getattr(path, "name", str(path))
         self._file = path
         self.quality_base = quality_base
         self.sequence_class = sequence_class
@@ -727,16 +788,8 @@ class SAMReader(SequenceReaderBase):
     def _iter(self, sam):
         raise NotImplementedError()
 
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *args):
-        self.close()
-
     def close(self):
-        if self._close_on_exit and self._file is not None:
-            self._file.close()
-            self._file = None
+        _close_owned(self)
 
     def _as_sequence(self, read):
         return self.sequence_class(
@@ -805,26 +858,21 @@ class SingleEndSAMReader(SAMReader):
     input_read = SINGLE
 
     def _iter(self, sam):
-        for read in sam:
-            yield self._as_sequence(read)
+        return map(self._as_sequence, sam)
 
 
 class Read1SingleEndSAMReader(SAMReader):
     input_read = READ1
 
     def _iter(self, sam):
-        for read in sam:
-            if read.is_read1:
-                yield self._as_sequence(read)
+        return (self._as_sequence(r) for r in sam if r.is_read1)
 
 
 class Read2SingleEndSAMReader(SAMReader):
     input_read = READ2
 
     def _iter(self, sam):
-        for read in sam:
-            if read.is_read2:
-                yield self._as_sequence(read)
+        return (self._as_sequence(r) for r in sam if r.is_read2)
 
 
 class PairedEndSAMReader(SAMReader):
@@ -862,11 +910,11 @@ class SequenceFileFormat:
 
 class FastaFormat(SequenceFileFormat):
     def __init__(self, line_length=None):
-        self.text_wrapper = None
-        if line_length:
-            from textwrap import TextWrapper
+        import textwrap
 
-            self.text_wrapper = TextWrapper(width=line_length)
+        self.text_wrapper = (
+            textwrap.TextWrapper(width=line_length) if line_length else None
+        )
 
     def format(self, read):
         return self.format_entry(read.name, read.sequence)
@@ -874,7 +922,7 @@ class FastaFormat(SequenceFileFormat):
     def format_entry(self, name, sequence):
         if self.text_wrapper:
             sequence = self.text_wrapper.fill(sequence)
-        return "".join((">", name, "\n", sequence, "\n"))
+        return ">{0}\n{1}\n".format(name, sequence)
 
 
 class ColorspaceFastaFormat(FastaFormat):
@@ -887,7 +935,7 @@ class FastqFormat(SequenceFileFormat):
         return self.format_entry(read.name, read.sequence, read.qualities, read.name2)
 
     def format_entry(self, name, sequence, qualities, name2=""):
-        return "".join(("@", name, "\n", sequence, "\n+", name2, "\n", qualities, "\n"))
+        return "@{0}\n{1}\n+{2}\n{3}\n".format(name, sequence, name2, qualities)
 
 
 class ColorspaceFastqFormat(FastqFormat):
@@ -958,11 +1006,10 @@ class SraSequenceReader(SequenceReader):
 
     def __iter__(self):
         if self.input_read == PAIRED:
-            for read in self._file:
-                yield tuple(self._as_sequence(frag) for frag in read[:2])
-        else:
-            for read in self._file:
-                yield self._as_sequence(read[0])
+            return (
+                tuple(map(self._as_sequence, read[:2])) for read in self._file
+            )
+        return (self._as_sequence(read[0]) for read in self._file)
 
     def _as_sequence(self, frag):
         return self.sequence_class(*frag, alphabet=self.alphabet)
@@ -985,15 +1032,8 @@ def sra_reader(reader, quality_base=None, colorspace=False, input_read=None,
                alphabet=None):
     """Wrap an existing SRA streaming reader, optionally restricting a
     paired stream to one mate."""
-    if colorspace:
-        wrapped = SraColorspaceSequenceReader(
-            reader, quality_base=quality_base, alphabet=alphabet
-        )
-    else:
-        wrapped = SraSequenceReader(
-            reader, quality_base=quality_base, alphabet=alphabet
-        )
-
+    sra_class = SraColorspaceSequenceReader if colorspace else SraSequenceReader
+    wrapped = sra_class(reader, quality_base=quality_base, alphabet=alphabet)
     if not reader.paired or input_read == PAIRED:
         return wrapped
     if input_read == READ1:
@@ -1016,6 +1056,39 @@ def paired_to_read2(reader):
         yield read2
 
 
+def _resolve_alphabet(alphabet):
+    if not alphabet or not isinstance(alphabet, str):
+        return alphabet
+    try:
+        return ALPHABETS[alphabet]
+    except KeyError:
+        raise ValueError("Invalid alphabet {}".format(alphabet))
+
+
+def _detect_from_content(stream):
+    """Content-based format sniff: the first non-comment character decides
+    fasta ('>') vs fastq ('@'); the consumed line is replayed."""
+    for line in stream:
+        file_format = None
+        if line.startswith(">"):
+            file_format = "fasta"
+        elif line.startswith("@"):
+            file_format = "fastq"
+        if file_format is not None or not line.startswith("#"):
+            return file_format, FileWithPrependedLine(stream, line)
+    return None, stream
+
+
+def _open_sam(file1, input_read, interleaved, quality_base, alphabet):
+    sam_class = {
+        READ1: Read1SingleEndSAMReader,
+        READ2: Read2SingleEndSAMReader,
+    }.get(input_read, SingleEndSAMReader)
+    if interleaved:
+        sam_class = PairedEndSAMReader
+    return sam_class(file1, quality_base=quality_base, alphabet=alphabet)
+
+
 def open_reader(
     file1=None,
     file2=None,
@@ -1034,41 +1107,27 @@ def open_reader(
     if file2 is not None and qualfile is not None:
         raise ValueError("Setting both file2 and qualfile is not supported")
 
-    if alphabet and isinstance(alphabet, str):
-        if alphabet not in ALPHABETS:
-            raise ValueError("Invalid alphabet {}".format(alphabet))
-        alphabet = ALPHABETS[alphabet]
+    alphabet = _resolve_alphabet(alphabet)
 
     if file2 is not None:
         return PairedSequenceReader(
-            file1, file2, quality_base=quality_base, colorspace=colorspace,
-            file_format=file_format, alphabet=alphabet,
+            file1, file2, quality_base=quality_base,
+            colorspace=colorspace, file_format=file_format,
+            alphabet=alphabet,
         )
 
     if qualfile is not None:
-        if colorspace:
-            return ColorspaceFastaQualReader(
-                file1, qualfile, quality_base=quality_base, alphabet=alphabet
-            )
-        return FastaQualReader(
+        fq_class = ColorspaceFastaQualReader if colorspace else FastaQualReader
+        return fq_class(
             file1, qualfile, quality_base=quality_base, alphabet=alphabet
         )
 
     if file_format is None and file1 != STDOUT:
         file_format = guess_format_from_name(file1)
-
     if file_format is None:
         if file1 == STDOUT:
             file1 = sys.stdin
-        for line in file1:
-            if line.startswith("#"):
-                continue
-            if line.startswith(">"):
-                file_format = "fasta"
-            elif line.startswith("@"):
-                file_format = "fastq"
-            file1 = FileWithPrependedLine(file1, line)
-            break
+        file_format, file1 = _detect_from_content(file1)
 
     if file_format is not None:
         file_format = file_format.lower()
@@ -1077,38 +1136,28 @@ def open_reader(
                 raise ValueError(
                     "SAM/BAM format is not currently supported for colorspace reads"
                 )
-            if interleaved:
-                return PairedEndSAMReader(
-                    file1, quality_base=quality_base, alphabet=alphabet
-                )
-            elif input_read == READ1:
-                return Read1SingleEndSAMReader(
-                    file1, quality_base=quality_base, alphabet=alphabet
-                )
-            elif input_read == READ2:
-                return Read2SingleEndSAMReader(
-                    file1, quality_base=quality_base, alphabet=alphabet
-                )
-            return SingleEndSAMReader(
-                file1, quality_base=quality_base, alphabet=alphabet
+            return _open_sam(
+                file1, input_read, interleaved, quality_base, alphabet
             )
-        elif interleaved:
+        if interleaved:
             reader = InterleavedSequenceReader(
                 file1, quality_base=quality_base, colorspace=colorspace,
                 file_format=file_format, alphabet=alphabet,
             )
             if input_read == READ1:
                 return paired_to_read1(reader)
-            elif input_read == READ2:
+            if input_read == READ2:
                 return paired_to_read2(reader)
             return reader
-        elif file_format == "fasta":
-            fasta_handler = ColorspaceFastaReader if colorspace else FastaReader
-            return fasta_handler(file1, alphabet=alphabet)
-        elif file_format == "fastq":
-            fastq_handler = ColorspaceFastqReader if colorspace else FastqReader
-            return fastq_handler(file1, quality_base=quality_base, alphabet=alphabet)
-        elif file_format == "sra-fastq" and colorspace:
+        if file_format == "fasta":
+            fasta_class = ColorspaceFastaReader if colorspace else FastaReader
+            return fasta_class(file1, alphabet=alphabet)
+        if file_format == "fastq":
+            fastq_class = ColorspaceFastqReader if colorspace else FastqReader
+            return fastq_class(
+                file1, quality_base=quality_base, alphabet=alphabet
+            )
+        if file_format == "sra-fastq" and colorspace:
             return SRAColorspaceFastqReader(
                 file1, quality_base=quality_base, alphabet=alphabet
             )
@@ -1121,25 +1170,27 @@ def open_reader(
     )
 
 
+# extension (after compression-suffix stripping) -> format name
+_EXTENSION_FORMATS = {
+    ".fasta": "fasta", ".fa": "fasta", ".fna": "fasta",
+    ".csfasta": "fasta", ".csfa": "fasta",
+    ".fastq": "fastq", ".fq": "fastq",
+    ".sam": "sam", ".bam": "bam",
+}
+
+
 def guess_format_from_name(path, raise_on_failure=False):
     """Detect format from a file name (handles compression extensions)."""
-    name = None
+    name = path if isinstance(path, str) else getattr(path, "name", None)
     ext = None
-    if isinstance(path, str):
-        name = path
-    elif hasattr(path, "name"):
-        name = path.name
-
     if name:
-        name, ext1, _ = splitext_compressed(name)
+        stem, ext1, _ = splitext_compressed(name)
         ext = ext1.lower()
-        if ext in [".fasta", ".fa", ".fna", ".csfasta", ".csfa"]:
-            return "fasta"
-        elif ext in [".fastq", ".fq"] or (ext == ".txt" and name.endswith("_sequence")):
-            return "fastq"
-        elif ext in (".sam", ".bam"):
-            return ext[1:]
-
+        fmt = _EXTENSION_FORMATS.get(ext)
+        if fmt is None and ext == ".txt" and stem.endswith("_sequence"):
+            fmt = "fastq"
+        if fmt is not None:
+            return fmt
     if raise_on_failure:
         raise UnknownFileType(
             "Could not determine whether file {0!r} is FASTA or FASTQ: file "
@@ -1152,7 +1203,7 @@ def create_seq_formatter(file1, file2=None, interleaved=False, **kwargs):
     seq_format = get_format(file1, **kwargs)
     if file2 is not None:
         return PairedEndFormatter(seq_format, file1, file2)
-    elif interleaved:
+    if interleaved:
         return InterleavedFormatter(seq_format, file1)
     return SingleEndFormatter(seq_format, file1)
 
@@ -1161,7 +1212,6 @@ def get_format(path, file_format=None, colorspace=False, qualities=None, line_le
     """SequenceFileFormat factory."""
     if file_format is None:
         file_format = guess_format_from_name(path, raise_on_failure=qualities is None)
-
     if file_format is None:
         if qualities is True:
             file_format = "fastq"
@@ -1171,20 +1221,16 @@ def get_format(path, file_format=None, colorspace=False, qualities=None, line_le
             raise UnknownFileType("Could not determine file type.")
 
     file_format = file_format.lower()
-
-    if file_format == "fastq" and qualities is False:
-        raise ValueError(
-            "Output format cannot be FASTQ since no quality values are available."
-        )
-
+    if file_format == "fastq":
+        if qualities is False:
+            raise ValueError(
+                "Output format cannot be FASTQ since no quality values are available."
+            )
+        return ColorspaceFastqFormat() if colorspace else FastqFormat()
     if file_format == "fasta":
         if colorspace:
             return ColorspaceFastaFormat(line_length)
         return FastaFormat(line_length)
-    elif file_format == "fastq":
-        if colorspace:
-            return ColorspaceFastqFormat()
-        return FastqFormat()
     raise UnknownFileType(
         "File format {0!r} is unknown (expected 'fasta' or 'fastq').".format(
             file_format

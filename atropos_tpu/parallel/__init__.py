@@ -100,6 +100,7 @@ def build_sharded_trim_step(
     quality_cutoff=(0, 20),
     quality_base=33,
     max_len_hist=512,
+    with_psum=True,
 ):
     """Compile a full sharded trim step over the mesh.
 
@@ -107,7 +108,9 @@ def build_sharded_trim_step(
     lengths and the host-built DP initial state), runs quality trimming
     and adapter alignment on every shard, resolves per-read keep
     intervals, and returns them together with globally ``psum``-reduced
-    statistics (trimmed-read count, bp histograms).
+    statistics (trimmed-read count, bp histograms). ``with_psum=False``
+    keeps the statistics per-shard (no collectives) — the scaling bench
+    uses the pair to isolate collective cost from compute.
     """
     kernel = functools.partial(
         _locate_kernel,
@@ -149,7 +152,17 @@ def build_sharded_trim_step(
             bp_kept=jnp.sum(new_len),
             length_hist=length_hist,
         )
-        stats = jax.lax.psum(stats, READS_AXIS)
+        if with_psum:
+            stats = jax.lax.psum(stats, READS_AXIS)
+        else:
+            # identical compute, no collective: per-shard partials come
+            # back stacked along the mesh axis instead of reduced
+            stats = dict(
+                records=stats["records"][None],
+                trimmed=stats["trimmed"][None],
+                bp_kept=stats["bp_kept"][None],
+                length_hist=stats["length_hist"][None, :],
+            )
         return dict(keep_start=keep_start, keep_stop=keep_stop, **stats)
 
     in_spec = (
@@ -163,14 +176,24 @@ def build_sharded_trim_step(
         P(None, READS_AXIS),  # last0
         P(None, READS_AXIS),  # done0
     )
-    out_spec = dict(
-        keep_start=P(READS_AXIS),
-        keep_stop=P(READS_AXIS),
-        records=P(),
-        trimmed=P(),
-        bp_kept=P(),
-        length_hist=P(),
-    )
+    if with_psum:
+        out_spec = dict(
+            keep_start=P(READS_AXIS),
+            keep_stop=P(READS_AXIS),
+            records=P(),
+            trimmed=P(),
+            bp_kept=P(),
+            length_hist=P(),
+        )
+    else:
+        out_spec = dict(
+            keep_start=P(READS_AXIS),
+            keep_stop=P(READS_AXIS),
+            records=P(READS_AXIS),
+            trimmed=P(READS_AXIS),
+            bp_kept=P(READS_AXIS),
+            length_hist=P(READS_AXIS, None),
+        )
 
     sharded = _shard_map(
         step, mesh=mesh, in_specs=in_spec, out_specs=out_spec

@@ -3,10 +3,19 @@
 For N in {1, 2, 4, ...} up to the available device count, runs the full
 sharded trim step (quality trim + adapter DP + psum statistics) over an
 N-device mesh with a CONSTANT per-device batch (weak scaling) and reports
-step time and parallel efficiency vs N=1. On the virtual CPU mesh the
-devices are host threads, so absolute times are indicative only — the
-metric tracked is the collective/overhead trend the BASELINE asks for
-(real multi-chip hardware permitting later).
+step time, aggregate throughput, and parallel efficiency vs N=1.
+
+Two decompositions make the result interpretable:
+
+- **psum-present vs psum-free**: the identical step compiled without the
+  collective statistics reduction. The delta is the collective cost —
+  the only component that grows with mesh size on real hardware.
+- **aggregate throughput vs host cores**: on the VIRTUAL CPU mesh the N
+  "devices" are host threads sharing ``os.cpu_count()`` physical cores,
+  so aggregate reads/s saturates at roughly the core count regardless of
+  N — weak-scaling "efficiency" on such a mesh measures host CPU
+  saturation, NOT interconnect scaling. The ``analysis`` block states
+  which regime the numbers are in.
 
 Writes one JSON object (also returned by :func:`measure`).
 """
@@ -18,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(max_devices=None, per_device=2048, read_len=100, trials=3):
+def measure(max_devices=None, per_device=8192, read_len=100, trials=10):
     import numpy as np
 
     import jax
@@ -66,10 +75,6 @@ def measure(max_devices=None, per_device=2048, read_len=100, trials=3):
         lengths = np.full(batch, read_len, np.int32)
         init = _initial_state_np(lengths, m=m, k=k, flags=BACK, ins_cost=1)
 
-        step = build_sharded_trim_step(
-            mesh, m=m, k=k, flags=BACK, min_overlap=3, ins_cost=1,
-            max_len_hist=128,
-        )
         ref_arr = jnp.asarray(
             np.frombuffer(adapter.encode(), np.uint8).astype(np.int32)
         )
@@ -86,42 +91,76 @@ def measure(max_devices=None, per_device=2048, read_len=100, trials=3):
             put(jnp.asarray(init[2]), P(None, "reads")),
             put(jnp.asarray(init[3]), P(None, "reads")),
         )
-        out = step(*args)
-        jax.block_until_ready(out)
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.time()
+
+        def timed(step):
             out = step(*args)
             jax.block_until_ready(out)
-            best = min(best, time.time() - t0)
+            best = float("inf")
+            for _ in range(trials):
+                t0 = time.time()
+                out = step(*args)
+                jax.block_until_ready(out)
+                best = min(best, time.time() - t0)
+            return best
+
+        common = dict(
+            m=m, k=k, flags=BACK, min_overlap=3, ins_cost=1, max_len_hist=128
+        )
+        best = timed(build_sharded_trim_step(mesh, **common))
+        best_nopsum = timed(
+            build_sharded_trim_step(mesh, with_psum=False, **common)
+        )
         results[n] = dict(
             batch=batch,
             step_seconds=round(best, 5),
+            step_seconds_no_psum=round(best_nopsum, 5),
+            psum_overhead_pct=round(100.0 * (best - best_nopsum) / best, 2),
             reads_per_sec=round(batch / best, 1),
         )
 
     base = results[1]["step_seconds"]
+    base_rps = results[1]["reads_per_sec"]
     for n, entry in results.items():
         # weak scaling: perfect efficiency = constant step time
         entry["efficiency"] = round(base / entry["step_seconds"], 4)
+        entry["aggregate_speedup"] = round(
+            entry["reads_per_sec"] / base_rps, 3
+        )
+
+    cores = os.cpu_count()
+    backend = jax.default_backend()
+    largest = results[max(results)]
+    if backend == "cpu":
+        analysis = (
+            "virtual CPU mesh: {n} mesh 'devices' share {c} physical "
+            "cores, so aggregate throughput saturates near the core count "
+            "(measured plateau: {agg}x the 1-device rate) and weak-scaling "
+            "efficiency is bounded by ~cores/N = {bound:.2f} regardless of "
+            "the program; the psum-free step shows the collective cost "
+            "itself is {pp}% of the step — the efficiency loss is host-CPU "
+            "saturation, not communication"
+        ).format(
+            n=max(results), c=cores, agg=largest["aggregate_speedup"],
+            bound=min(1.0, cores / max(results)),
+            pp=largest["psum_overhead_pct"],
+        )
+    else:
+        analysis = "real device mesh: efficiency reflects chip scaling"
     return dict(
         mode="weak-scaling",
         per_device_batch=per_device,
         read_len=read_len,
-        backend=jax.default_backend(),
-        note=(
-            "virtual CPU mesh devices are host threads; efficiency tracks "
-            "collective/overhead trend, not real chip scaling"
-            if jax.default_backend() == "cpu"
-            else "real device mesh"
-        ),
+        trials=trials,
+        backend=backend,
+        host_cores=cores,
+        analysis=analysis,
         sizes=results,
     )
 
 
 def main():
     out = measure()
-    print(json.dumps(out))
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":
