@@ -147,9 +147,13 @@ class _Inflight:
     __slots__ = (
         "bundle", "chunk", "sub", "batch", "width", "pad_b",
         "keep_start", "keep_stop", "n", "seqs", "host_q",
+        "match_data", "win_start", "win_stop",
     )
 
     def __init__(self, **kw):
+        self.match_data = None
+        self.win_start = None
+        self.win_stop = None
         for key, val in kw.items():
             setattr(self, key, val)
 
@@ -167,21 +171,26 @@ def _open_input(path):
 
 
 class _ChunkStream:
-    """Incremental native-parsed FASTQ chunk iterator over one file.
+    """Incremental native-parsed FASTQ/FASTA chunk iterator over one
+    file.
 
-    Replicates the scalar reader's edge handling: tolerates a missing
-    final newline, raises on trailing garbage that parses to no records,
-    and carries partial records across chunk boundaries.
+    Replicates the scalar readers' edge handling: tolerates a missing
+    final newline, raises on malformed content with the reader's exact
+    diagnostics, and carries partial records across chunk boundaries.
     """
 
-    def __init__(self, path, chunk_bytes):
+    def __init__(self, path, chunk_bytes, fmt="fastq"):
         self._fh = _open_input(path)
         self._carry = b""
         self._eof = False
         self._chunk_bytes = chunk_bytes
+        self._fmt = fmt
+        self._lines_done = 0
 
     def next_chunk(self):
         """The next parsed chunk with >= 1 record, or None at end."""
+        if self._fmt == "fasta":
+            return self._next_fasta()
         while True:
             if self._eof and not self._carry:
                 return None
@@ -200,6 +209,43 @@ class _ChunkStream:
                 if buf.strip():
                     raise RuntimeError("trailing garbage in FASTQ input")
                 return None
+            self._carry = buf[chunk.consumed :] if not self._eof else b""
+            if chunk.n:
+                return chunk
+
+    def _next_fasta(self):
+        from atropos_tpu.io.seqio import FormatError
+        from atropos_tpu.util import truncate_string
+
+        while True:
+            if self._eof and not self._carry:
+                return None
+            data = b"" if self._eof else self._fh.read(self._chunk_bytes)
+            if not data:
+                self._eof = True
+            buf = self._carry + data
+            if not buf:
+                return None
+            try:
+                chunk = runtime.parse_fasta_chunk(buf, final=self._eof)
+            except runtime.FastaParseError as err:
+                # FastaReader's diagnostic, byte for byte (absolute line
+                # number tracked across chunks)
+                offset = err.offset
+                lineno = self._lines_done + buf[:offset].count(b"\n") + 1
+                nl_pos = buf.find(b"\n", offset)
+                line = buf[offset : nl_pos if nl_pos >= 0 else len(buf)]
+                raise FormatError(
+                    "At line {0}: Expected '>' at beginning of FASTA "
+                    "record, but got {1!r}.".format(
+                        lineno,
+                        truncate_string(line.decode("latin-1").strip()),
+                    )
+                )
+            if chunk.n == 0 and self._eof:
+                self._carry = b""
+                return None
+            self._lines_done += buf[: chunk.consumed].count(b"\n")
             self._carry = buf[chunk.consumed :] if not self._eof else b""
             if chunk.n:
                 return chunk
@@ -792,12 +838,15 @@ class _MateLane:
 
     def resolve_windows(self, tok):
         """Fetch the device bundle and produce (keep_start, keep_stop,
-        matched) for the batch, accumulating all modifier statistics."""
+        matched) for the batch, accumulating all modifier statistics.
+        ``tok.bundle`` may be None (no device work: no DP aligners, no
+        quality stage, unsharded) — the host-side anchored matchers still
+        run then."""
         if tok.bundle is None:
-            # nothing ran on device (no adapters/quality, unsharded)
-            return tok.keep_start, tok.keep_stop, np.zeros(tok.batch, bool)
-        arr_full = np.asarray(tok.bundle).astype(np.int32)
-        arr = arr_full[:, : tok.batch]
+            arr_full = arr = None
+        else:
+            arr_full = np.asarray(tok.bundle).astype(np.int32)
+            arr = arr_full[:, : tok.batch]
         batch = tok.batch
         keep_start = tok.keep_start
         keep_stop = tok.keep_stop
@@ -821,6 +870,10 @@ class _MateLane:
             )
 
         win_len = keep_stop - keep_start
+        # the pre-adapter window: side files (info/rest/wildcard) slice
+        # their fields from the read state AT MATCH TIME
+        tok.win_start = keep_start
+        tok.win_stop = keep_stop
 
         # A: adapter matching + trim
         matched = np.zeros(batch, bool)
@@ -879,6 +932,16 @@ class _MateLane:
             matched = best["found"]
             # resolve trims per adapter type
             front_match = self._front_flags(best, best_idx)
+            tok.match_data = dict(
+                matched=matched,
+                best_idx=best_idx,
+                astart=best["start1"],
+                astop=best["stop1"],
+                rstart=best["start2"],
+                rstop=best["stop2"],
+                errors=best["cost"],
+                front=front_match,
+            )
             new_start = np.where(
                 matched & front_match, keep_start + best["stop2"], keep_start
             )
@@ -1312,6 +1375,21 @@ class _InsertPair:
 
         sel = self._select(counts, tok1, tok2, wl1, wl2)
         m1, m2 = self._combine(sel, res1, res2, wl1, wl2)
+        for tok, lane, mate, ks, kp in (
+            (tok1, lane1, m1, ks1, kp1), (tok2, lane2, m2, ks2, kp2),
+        ):
+            tok.win_start = ks
+            tok.win_stop = kp
+            tok.match_data = dict(
+                matched=mate["present"],
+                best_idx=np.where(mate["present"], 0, -1),
+                astart=mate["astart"],
+                astop=mate["astop"],
+                rstart=mate["rstart"],
+                rstop=mate["rstop"],
+                errors=mate["errors"],
+                front=np.zeros(tok.batch, bool),
+            )
         kp1 = self._apply_mate(lane1, tok1, m1, ks1, kp1, wl1, 0)
         kp2 = self._apply_mate(lane2, tok2, m2, ks2, kp2, wl2, 1)
         return ks1, kp1, m1["present"], ks2, kp2, m2["present"]
@@ -1560,35 +1638,46 @@ class _InsertPair:
         return np.where(trim, ks + mate["rstart"], kp).astype(np.int32)
 
 
-def _format_records(chunk, sub, keep_start, keep_stop, keep):
-    """Native formatter: trimmed FASTQ bytes for the kept records."""
+def _format_records(chunk, sub, keep_start, keep_stop, keep, fmt="fastq"):
+    """Native formatter: trimmed FASTQ/FASTA bytes for the kept records."""
     from atropos_tpu.runtime import _i32, _i64, _lib, _u8
 
     name_off = np.ascontiguousarray(chunk.name_off[sub])
     name_len = np.ascontiguousarray(chunk.name_len[sub])
     seq_off = np.ascontiguousarray(chunk.seq_off[sub])
-    plus_off = np.ascontiguousarray(chunk.plus_off[sub])
-    plus_len = np.ascontiguousarray(chunk.plus_len[sub])
-    qual_off = np.ascontiguousarray(chunk.qual_off[sub])
     ks = np.ascontiguousarray(keep_start, np.int32)
     kp = np.ascontiguousarray(keep_stop, np.int32)
     kmask = np.ascontiguousarray(keep.astype(np.uint8))
-    cap = int(
-        name_len.sum() + plus_len.sum()
-        + 2 * np.maximum(kp - ks, 0)[keep].sum()
-        + name_off.shape[0] * 8 + 16
-    )
-    out = np.empty(cap, dtype=np.uint8)
-    written = _lib.fastq_format_trimmed(
-        _u8(chunk.buf),
-        _i64(name_off), _i32(name_len),
-        _i64(seq_off),
-        _i64(plus_off), _i32(plus_len),
-        _i64(qual_off),
-        _i32(ks), _i32(kp), _u8(kmask),
-        name_off.shape[0],
-        _u8(out), cap,
-    )
+    kept_bp = int(np.maximum(kp - ks, 0)[keep].sum())
+    if fmt == "fasta":
+        cap = int(name_len.sum()) + kept_bp + name_off.shape[0] * 4 + 16
+        out = np.empty(cap, dtype=np.uint8)
+        written = _lib.fasta_format_trimmed(
+            _u8(chunk.buf),
+            _i64(name_off), _i32(name_len), _i64(seq_off),
+            _i32(ks), _i32(kp), _u8(kmask),
+            name_off.shape[0],
+            _u8(out), cap,
+        )
+    else:
+        plus_off = np.ascontiguousarray(chunk.plus_off[sub])
+        plus_len = np.ascontiguousarray(chunk.plus_len[sub])
+        qual_off = np.ascontiguousarray(chunk.qual_off[sub])
+        cap = int(
+            name_len.sum() + plus_len.sum() + 2 * kept_bp
+            + name_off.shape[0] * 8 + 16
+        )
+        out = np.empty(cap, dtype=np.uint8)
+        written = _lib.fastq_format_trimmed(
+            _u8(chunk.buf),
+            _i64(name_off), _i32(name_len),
+            _i64(seq_off),
+            _i64(plus_off), _i32(plus_len),
+            _i64(qual_off),
+            _i32(ks), _i32(kp), _u8(kmask),
+            name_off.shape[0],
+            _u8(out), cap,
+        )
     if written < 0:
         raise RuntimeError("format capacity exceeded")
     return out[:written].tobytes()
@@ -1679,13 +1768,10 @@ class _TurboRunnerBase:
             return "colorspace input"
         if options.action != "trim" or options.times != 1:
             return "action!=trim or times>1"
-        if (
-            options.info_file
-            or options.rest_file
-            or options.wildcard_file
-            or options.merged_output
-        ):
-            return "info/rest/wildcard/merged outputs"
+        if options.merged_output:
+            return "merged output"
+        if options.subsample:
+            return "subsample"
         for ftype in record_handler.filters.filters:
             if ftype not in (
                 TooShortReadFilter,
@@ -1698,42 +1784,55 @@ class _TurboRunnerBase:
         return None
 
     @staticmethod
-    def _fastq_path(path):
-        from atropos_tpu.io.compression import splitext_compressed
+    def _stream_format(path, explicit=None):
+        """The chunk-stream format ('fastq' or 'fasta') for a path, or
+        None when the path is unusable (stdin/stdout, a demultiplex
+        template, or an unrecognized extension). ``explicit`` carries the
+        CLI ``--format`` override for inputs."""
+        from atropos_tpu.io.seqio import guess_format_from_name
 
-        return (
-            path
-            and isinstance(path, str)
-            and path != "-"
-            and "{name}" not in path
-            and splitext_compressed(path)[1] in (".fastq", ".fq")
-        )
+        if not path or not isinstance(path, str) or path == "-":
+            return None
+        if "{name}" in path:
+            return None
+        fmt = explicit or guess_format_from_name(path)
+        return fmt if fmt in ("fastq", "fasta") else None
 
     @classmethod
-    def _check_formatters(cls, formatters):
-        """Every destination formatter (main output plus untrimmed /
-        too-short / too-long files) must be a plain FASTQ-path formatter;
-        returns a decline reason or None. Also rejects one path serving
-        different mate roles (per-batch grouped writes could not
-        reproduce the scalar byte interleaving then)."""
+    def _collect_output_formats(cls, formatters):
+        """{path: format} for every destination formatter (main output
+        plus untrimmed / too-short / too-long files), or a decline-reason
+        string. Also rejects one path serving different mate roles
+        (per-batch grouped writes could not reproduce the scalar byte
+        interleaving then)."""
         from atropos_tpu.io.seqio import InterleavedFormatter
 
+        fmts = {}
         role_of = {}
         for formatter in formatters.seq_formatters.values():
             if isinstance(formatter, InterleavedFormatter):
                 return "interleaved output"
-            if not cls._fastq_path(formatter.file1):
-                return "non-FASTQ/stdout/demultiplexed output"
-            file2 = getattr(formatter, "file2", None)
             roles = [(formatter.file1, 1)]
+            file2 = getattr(formatter, "file2", None)
             if file2 is not None:
-                if not cls._fastq_path(file2):
-                    return "non-FASTQ/stdout/demultiplexed output"
                 roles.append((file2, 2))
             for path, role in roles:
+                fmt = cls._stream_format(path)
+                if fmt is None:
+                    return "unsupported output format"
+                fmts[path] = fmt
                 if role_of.setdefault(path, role) != role:
                     return "one path used for both mates"
-        return None
+        return fmts
+
+    def _fmt_of(self, path):
+        """Output format for a destination path (lazily resolved for
+        demultiplex expansions)."""
+        fmt = self._out_fmts.get(path)
+        if fmt is None:
+            fmt = self._stream_format(path)
+            self._out_fmts[path] = fmt
+        return fmt
 
     def _open_output(self, path):
         """Binary output handle (bytes from the native formatter go
@@ -1776,6 +1875,128 @@ class _TurboRunnerBase:
             )
         handler = self.stats if self.stats is not None else self.record_handler
         summary.update(handler.summarize())
+
+    # -- side files (info/rest/wildcard) --------------------------------------
+
+    def _emit_side_files(self, mates):
+        """Write the configured side files (``--info-file``/``-r``/
+        ``--wildcard-file``) for one batch: per-record rows assembled
+        from the chunk buffer + stashed match data, byte-identical to
+        the scalar DelimFormatters (``writers.py:146-199``). Per-record
+        Python here is fine — side-file configs are inspection runs and
+        the main trim path stays fully vectorized."""
+        from atropos_tpu.commands.trim.writers import (
+            InfoFormatter,
+            RestFormatter,
+            WildcardFormatter,
+        )
+
+        side = self.record_handler.formatters.info_formatters
+        if not side:
+            return
+        views = [self._side_view(lane, tok) for lane, tok in mates]
+        batch = mates[0][1].batch
+        rows_of = {
+            InfoFormatter: self._info_rows,
+            RestFormatter: self._rest_rows,
+            WildcardFormatter: self._wildcard_rows,
+        }
+        for formatter in side:
+            builder = rows_of[type(formatter)]
+            delim = formatter.delim
+            lines = []
+            for i in range(batch):
+                for view in views:
+                    for fields in builder(view, i):
+                        lines.append(
+                            delim.join(str(f) for f in fields) + "\n"
+                        )
+            if lines:
+                self._writer.write(
+                    self._open_output(formatter.path),
+                    "".join(lines).encode("latin-1"),
+                )
+
+    @staticmethod
+    def _side_view(lane, tok):
+        """Per-record strings for side-file assembly: full header names
+        plus the pre-adapter window's sequence/quality slices (the read
+        state AT MATCH TIME, which MatchInfo snapshots)."""
+        chunk, sub = tok.chunk, tok.sub
+        batch = tok.batch
+        buf = chunk.buf
+        name_off = chunk.name_off[sub]
+        name_len = chunk.name_len[sub]
+        seq_off = chunk.seq_off[sub]
+        qual_off = chunk.qual_off[sub]
+        qual_len = chunk.qual_len[sub]
+        ws = tok.win_start if tok.win_start is not None else tok.keep_start
+        wp = tok.win_stop if tok.win_stop is not None else tok.keep_stop
+
+        def text(off, start, stop):
+            return bytes(buf[off + start : off + stop]).decode("latin-1")
+
+        names = [
+            text(name_off[i], 0, name_len[i]) for i in range(batch)
+        ]
+        seqs = [
+            text(seq_off[i], ws[i], wp[i]) for i in range(batch)
+        ]
+        quals = [
+            text(qual_off[i], ws[i], wp[i]) if qual_len[i] else ""
+            for i in range(batch)
+        ]
+        return dict(
+            names=names, seqs=seqs, quals=quals,
+            md=tok.match_data, adapters=lane.adapters,
+        )
+
+    @staticmethod
+    def _info_rows(view, i):
+        md = view["md"]
+        if md is not None and md["matched"][i]:
+            seq = view["seqs"][i]
+            qual = view["quals"][i]
+            rstart = int(md["rstart"][i])
+            rstop = int(md["rstop"][i])
+            adapter = view["adapters"][int(md["best_idx"][i])]
+            yield (
+                view["names"][i], int(md["errors"][i]), rstart, rstop,
+                seq[:rstart], seq[rstart:rstop], seq[rstop:],
+                adapter.name,
+                qual[:rstart], qual[rstart:rstop], qual[rstop:],
+            )
+        else:
+            yield (view["names"][i], -1, view["seqs"][i], view["quals"][i])
+
+    @staticmethod
+    def _rest_rows(view, i):
+        md = view["md"]
+        if md is not None and md["matched"][i]:
+            seq = view["seqs"][i]
+            if md["front"][i]:
+                rest = seq[: int(md["rstart"][i])]
+            else:
+                rest = seq[int(md["rstop"][i]) :]
+            if rest:
+                yield (rest, view["names"][i])
+
+    @staticmethod
+    def _wildcard_rows(view, i):
+        md = view["md"]
+        if md is not None and md["matched"][i]:
+            seq = view["seqs"][i]
+            adapter = view["adapters"][int(md["best_idx"][i])]
+            astart = int(md["astart"][i])
+            rstart = int(md["rstart"][i])
+            length = int(md["astop"][i]) - astart
+            wildcards = "".join(
+                seq[rstart + j]
+                for j in range(length)
+                if adapter.sequence[astart + j] == "N"
+                and rstart + j < len(seq)
+            )
+            yield (wildcards, view["names"][i])
 
     # -- --stats collection (pre/post ReadStatistics from matrices) -----------
 
@@ -1859,13 +2080,20 @@ class TurboTrimRunner(_TurboRunnerBase):
             return cls._decline("non-path input")
         if options.input2 or options.interleaved_input:
             return cls._decline("paired input")
-        if not cls._fastq_path(input1):
-            return cls._decline("non-FASTQ input")
-        if not cls._fastq_path(options.output):
-            return cls._decline("non-FASTQ/stdout/demultiplexed output")
-        reason = cls._check_formatters(inner.formatters)
-        if reason:
-            return cls._decline(reason)
+        in_fmt = cls._stream_format(input1, options.format)
+        if in_fmt is None:
+            return cls._decline("unsupported input format")
+        output = options.output
+        if output and isinstance(output, str) and "{name}" in output:
+            # demultiplexing: every {name} expansion must be a plain
+            # stream path (routing happens per-adapter in the resolver)
+            if cls._stream_format(output.replace("{name}", "x")) is None:
+                return cls._decline("unsupported demultiplex template")
+        elif cls._stream_format(output) is None:
+            return cls._decline("unsupported output format")
+        out_fmts = cls._collect_output_formats(inner.formatters)
+        if isinstance(out_fmts, str):
+            return cls._decline(out_fmts)
 
         mods = [
             entry[0] if isinstance(entry, list) else entry
@@ -1874,16 +2102,24 @@ class TurboTrimRunner(_TurboRunnerBase):
         lane = _MateLane.from_modifier_list(mods)
         if isinstance(lane, str):
             return cls._decline(lane)
-        return cls(command_runner, inner, writers, lane, stats)
+        if in_fmt == "fasta":
+            if lane._needs_quals:
+                return cls._decline("quality stage without qualities")
+            if stats is not None:
+                return cls._decline("--stats on quality-less input")
+        return cls(command_runner, inner, writers, lane, stats, in_fmt,
+                   out_fmts)
 
     def __init__(self, command_runner, record_handler, writers, lane,
-                 stats=None):
+                 stats=None, in_fmt="fastq", out_fmts=None):
         self.command_runner = command_runner
         self.options = command_runner.options
         self.record_handler = record_handler
         self.writers = writers
         self.lane = lane
         self.stats = stats
+        self._in_fmt = in_fmt
+        self._out_fmts = dict(out_fmts or {})
 
     # -- main loop ------------------------------------------------------------
 
@@ -1901,19 +2137,31 @@ class TurboTrimRunner(_TurboRunnerBase):
         shard_rank = getattr(self.command_runner, "shard_rank", 0)
         shard_count = getattr(self.command_runner, "shard_count", 1)
         chunk_index = 0
-        stream = _ChunkStream(options.input1, self.CHUNK_BYTES)
+        # --max-reads caps the GLOBAL record stream (scalar batcher
+        # semantics: the first N records of the input)
+        from atropos_tpu.commands.cli import int_or_str
+
+        quota = int_or_str(options.max_reads) or None
+        seen = 0
+        stream = _ChunkStream(options.input1, self.CHUNK_BYTES, self._in_fmt)
         self._writer = _AsyncWriter()
         try:
             while True:
                 chunk = stream.next_chunk()
                 if chunk is None:
                     break
+                avail = chunk.n
+                if quota is not None:
+                    avail = min(avail, quota - seen)
+                    if avail <= 0:
+                        break
+                seen += avail
                 if chunk_index % shard_count == shard_rank:
-                    total_records += chunk.n
-                    total_bp += int(chunk.seq_len.sum())
-                    for start in range(0, chunk.n, self.MAX_BATCH):
+                    total_records += avail
+                    total_bp += int(chunk.seq_len[:avail].sum())
+                    for start in range(0, avail, self.MAX_BATCH):
                         sub = slice(
-                            start, min(start + self.MAX_BATCH, chunk.n)
+                            start, min(start + self.MAX_BATCH, avail)
                         )
                         inflight.append(self.lane.submit(chunk, sub))
                         while len(inflight) >= self.DEPTH:
@@ -1959,12 +2207,8 @@ class TurboTrimRunner(_TurboRunnerBase):
         # dests without a formatter are discarded
         formatters = self.record_handler.formatters
         path_masks = {}
-        for ftype, mask in dest_masks + [(NoFilter, keep)]:
-            formatter = formatters.seq_formatters.get(ftype)
-            count = int(mask.sum())
-            if formatter is None:
-                formatters.discarded += count
-                continue
+
+        def route(formatter, mask, count):
             formatter.written += count
             formatter.read1_bp += int(final_len[mask].sum())
             if count:
@@ -1972,11 +2216,38 @@ class TurboTrimRunner(_TurboRunnerBase):
                 path_masks[formatter.file1] = (
                     mask if prev is None else (prev | mask)
                 )
+
+        for ftype, mask in dest_masks + [(NoFilter, keep)]:
+            if formatters.multiplexed and ftype is NoFilter:
+                # demultiplex: kept matched reads route to the {name}
+                # expansion of their adapter; unmatched fall through to
+                # the NoFilter ('unknown') formatter below
+                best_idx = tok.match_data["best_idx"]
+                mux = mask & matched
+                for adapter_idx, adapter in enumerate(self.lane.adapters):
+                    sub_mask = mux & (best_idx == adapter_idx)
+                    count = int(sub_mask.sum())
+                    if count:
+                        route(
+                            formatters.get_mux_formatter(adapter.name),
+                            sub_mask, count,
+                        )
+                mask = mask & ~matched
+            formatter = formatters.seq_formatters.get(ftype)
+            count = int(mask.sum())
+            if formatter is None:
+                formatters.discarded += count
+                continue
+            route(formatter, mask, count)
         for path, mask in path_masks.items():
             self._writer.write(
                 self._open_output(path),
-                _format_records(tok.chunk, tok.sub, keep_start, keep_stop, mask),
+                _format_records(
+                    tok.chunk, tok.sub, keep_start, keep_stop, mask,
+                    fmt=self._fmt_of(path),
+                ),
             )
+        self._emit_side_files([(self.lane, tok)])
 
 
 class TurboPairedRunner(_TurboRunnerBase):
@@ -2010,18 +2281,20 @@ class TurboPairedRunner(_TurboRunnerBase):
             or options.interleaved_input
         ):
             return cls._decline("interleaved or non-path paired input")
-        if not (cls._fastq_path(input1) and cls._fastq_path(input2)):
-            return cls._decline("non-FASTQ paired input")
+        in_fmt1 = cls._stream_format(input1, options.format)
+        in_fmt2 = cls._stream_format(input2, options.format)
+        if in_fmt1 is None or in_fmt2 is None:
+            return cls._decline("unsupported paired input format")
         if options.interleaved_output:
             return cls._decline("interleaved output")
-        if not (
-            cls._fastq_path(options.output)
-            and cls._fastq_path(options.paired_output)
+        if (
+            cls._stream_format(options.output) is None
+            or cls._stream_format(options.paired_output) is None
         ):
-            return cls._decline("non-FASTQ/stdout/demultiplexed output")
-        reason = cls._check_formatters(record_handler.formatters)
-        if reason:
-            return cls._decline(reason)
+            return cls._decline("unsupported output format")
+        out_fmts = cls._collect_output_formats(record_handler.formatters)
+        if isinstance(out_fmts, str):
+            return cls._decline(out_fmts)
 
         mods1, mods2 = [], []
         insert_cutter = None
@@ -2064,13 +2337,19 @@ class TurboPairedRunner(_TurboRunnerBase):
             lane2 = _MateLane.from_modifier_list(mods2)
             if isinstance(lane2, str):
                 return cls._decline(lane2)
+        if "fasta" in (in_fmt1, in_fmt2):
+            if lane1._needs_quals or lane2._needs_quals:
+                return cls._decline("quality stage without qualities")
+            if stats is not None:
+                return cls._decline("--stats on quality-less input")
         return cls(
             command_runner, record_handler, writers, lane1, lane2, stats,
-            insert_pair,
+            insert_pair, (in_fmt1, in_fmt2), out_fmts,
         )
 
     def __init__(self, command_runner, record_handler, writers, lane1, lane2,
-                 stats=None, insert_pair=None):
+                 stats=None, insert_pair=None, in_fmts=("fastq", "fastq"),
+                 out_fmts=None):
         self.command_runner = command_runner
         self.options = command_runner.options
         self.record_handler = record_handler
@@ -2079,6 +2358,8 @@ class TurboPairedRunner(_TurboRunnerBase):
         self.lane2 = lane2
         self.stats = stats
         self.insert_pair = insert_pair
+        self._in_fmts = in_fmts
+        self._out_fmts = dict(out_fmts or {})
 
     # -- main loop ------------------------------------------------------------
 
@@ -2094,13 +2375,19 @@ class TurboPairedRunner(_TurboRunnerBase):
         shard_rank = getattr(self.command_runner, "shard_rank", 0)
         shard_count = getattr(self.command_runner, "shard_count", 1)
         batch_index = 0
-        s1 = _ChunkStream(options.input1, self.CHUNK_BYTES)
-        s2 = _ChunkStream(options.input2, self.CHUNK_BYTES)
+        s1 = _ChunkStream(options.input1, self.CHUNK_BYTES, self._in_fmts[0])
+        s2 = _ChunkStream(options.input2, self.CHUNK_BYTES, self._in_fmts[1])
         self._writer = _AsyncWriter()
+        from atropos_tpu.commands.cli import int_or_str
+
+        quota = int_or_str(options.max_reads) or None
+        seen_pairs = 0
         cur1 = cur2 = None
         pos1 = pos2 = 0
         try:
             while True:
+                if quota is not None and seen_pairs >= quota:
+                    break
                 if cur1 is None or pos1 == cur1.n:
                     cur1 = s1.next_chunk()
                     pos1 = 0
@@ -2120,6 +2407,9 @@ class TurboPairedRunner(_TurboRunnerBase):
                         )
                     break
                 take = min(cur1.n - pos1, cur2.n - pos2, self.MAX_BATCH)
+                if quota is not None:
+                    take = min(take, quota - seen_pairs)
+                seen_pairs += take
                 sub1 = slice(pos1, pos1 + take)
                 sub2 = slice(pos2, pos2 + take)
                 pos1 += take
@@ -2291,13 +2581,15 @@ class TurboPairedRunner(_TurboRunnerBase):
                 if file2 is not None:
                     prev2 = masks2.get(file2)
                     masks2[file2] = mask if prev2 is None else (prev2 | mask)
-        for path, mask in masks1.items():
-            self._writer.write(
-                self._open_output(path),
-                _format_records(tok1.chunk, tok1.sub, ks1, kp1, mask),
-            )
-        for path, mask in masks2.items():
-            self._writer.write(
-                self._open_output(path),
-                _format_records(tok2.chunk, tok2.sub, ks2, kp2, mask),
-            )
+        for tok, ks, kp, masks in (
+            (tok1, ks1, kp1, masks1), (tok2, ks2, kp2, masks2),
+        ):
+            for path, mask in masks.items():
+                self._writer.write(
+                    self._open_output(path),
+                    _format_records(
+                        tok.chunk, tok.sub, ks, kp, mask,
+                        fmt=self._fmt_of(path),
+                    ),
+                )
+        self._emit_side_files([(self.lane1, tok1), (self.lane2, tok2)])

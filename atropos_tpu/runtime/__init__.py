@@ -49,6 +49,17 @@ def _load():
     lib.gather_padded.argtypes = [
         u8p, i64p, i32p, ctypes.c_int64, ctypes.c_int64, u8p,
     ]
+    lib.fasta_parse.restype = ctypes.c_int64
+    lib.fasta_parse.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i64p, i32p, i64p, i32p, i64p, u8p, i64p, i64p,
+    ]
+    lib.fasta_format_trimmed.restype = ctypes.c_int64
+    lib.fasta_format_trimmed.argtypes = [
+        u8p, i64p, i32p, i64p,
+        i32p, i32p, u8p, ctypes.c_int64,
+        u8p, ctypes.c_int64,
+    ]
     lib.scan_alphabet.restype = None
     lib.scan_alphabet.argtypes = [u8p, i64p, i32p, ctypes.c_int64, u8p]
     lib.gather_packed.restype = None
@@ -174,6 +185,63 @@ class FastqChunk:
 
 class FastqParseError(Exception):
     pass
+
+
+class FastaParseError(Exception):
+    """Malformed FASTA content; ``offset`` is the offending line's byte
+    offset in the parsed buffer (for exact error-message reconstruction)."""
+
+    def __init__(self, message, offset):
+        super().__init__(message)
+        self.offset = offset
+
+
+def parse_fasta_chunk(buf, final=False, max_records=None):
+    """Parse a bytes/ndarray FASTA buffer into a :class:`FastqChunk`
+    (qual/plus fields zeroed; ``chunk.buf`` is a NORMALIZED buffer with
+    names and compacted sequences — wrapped records become contiguous).
+
+    Unless ``final``, the trailing record is left unconsumed (a record
+    only completes at the next '>' line); ``chunk.consumed`` reports the
+    input bytes used.
+    """
+    if _lib is None:
+        raise RuntimeError("native fastq runtime not available")
+    if isinstance(buf, (bytes, bytearray, memoryview)):
+        buf = np.frombuffer(buf, dtype=np.uint8)
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    if max_records is None:
+        max_records = max(16, int(np.count_nonzero(buf == ord(">"))) + 2)
+    name_off = np.empty(max_records, np.int64)
+    name_len = np.empty(max_records, np.int32)
+    seq_off = np.empty(max_records, np.int64)
+    seq_len = np.empty(max_records, np.int32)
+    consumed = np.zeros(1, np.int64)
+    out = np.empty(buf.size + 1, np.uint8)
+    out_used = np.zeros(1, np.int64)
+    err_off = np.zeros(1, np.int64)
+    n = _lib.fasta_parse(
+        _u8(buf), buf.size, max_records, 1 if final else 0,
+        _i64(name_off), _i32(name_len),
+        _i64(seq_off), _i32(seq_len),
+        _i64(consumed), _u8(out), _i64(out_used), _i64(err_off),
+    )
+    if n == -1:
+        raise FastaParseError(
+            "FASTA content line outside any record", int(err_off[0])
+        )
+    if n < 0:
+        raise FastqParseError(_ERRORS.get(int(n), "unknown error {}".format(n)))
+    n = int(n)
+    zeros64 = np.zeros(n, np.int64)
+    zeros32 = np.zeros(n, np.int32)
+    arrays = (
+        name_off[:n], name_len[:n],
+        seq_off[:n], seq_len[:n],
+        zeros64, zeros32,          # plus
+        zeros64.copy(), zeros32.copy(),  # qual
+    )
+    return FastqChunk(out, n, int(consumed[0]), arrays)
 
 
 _ERRORS = {

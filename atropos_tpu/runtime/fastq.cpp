@@ -101,6 +101,112 @@ void gather_padded(
     }
 }
 
+// Parse FASTA records from buf[0:len), normalizing into out.
+//
+// Mirrors the Python FastaReader's semantics: every line is stripped of
+// leading/trailing whitespace; blank lines and '#' comment lines are
+// skipped; '>' (after stripping) opens a record; other lines append to
+// the current record's sequence (so wrapped records are compacted).
+// Records are written DENSELY into out (name bytes then sequence bytes,
+// no separators); name/seq offsets index out, not buf.
+//
+// A record only completes when the next '>' line (or, with final != 0,
+// the end of the buffer) is seen; *consumed is the input offset where
+// the first incomplete record starts. Returns the record count, or
+// -1 for a content line before any record (offending line offset in
+// *err_off), -4 if max_records is exceeded.
+int64_t fasta_parse(
+    const uint8_t* buf, int64_t len,
+    int64_t max_records, int64_t final,
+    int64_t* name_off, int32_t* name_len,
+    int64_t* seq_off, int32_t* seq_len,
+    int64_t* consumed,
+    uint8_t* out, int64_t* out_used,
+    int64_t* err_off)
+{
+    auto is_space = [](uint8_t c) {
+        return c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+               c == '\v' || c == '\f';
+    };
+    int64_t pos = 0;
+    int64_t n = -1;        // index of the open record
+    int64_t w = 0;         // write cursor in out
+    int64_t rec_start = 0; // input offset where the open record started
+    *consumed = 0;
+
+    while (pos < len) {
+        const uint8_t* nl = (const uint8_t*)memchr(
+            buf + pos, '\n', (size_t)(len - pos));
+        int64_t line_end = nl ? (nl - buf) : len;
+        int64_t next = nl ? line_end + 1 : len;
+        if (!nl && !final) break;  // incomplete trailing line
+        // strip
+        int64_t a = pos, b = line_end;
+        while (a < b && is_space(buf[a])) a += 1;
+        while (b > a && is_space(buf[b - 1])) b -= 1;
+        if (a == b || buf[a] == '#') { pos = next; continue; }
+        if (buf[a] == '>') {
+            // previous record is now complete
+            if (n + 1 >= max_records) return -4;
+            n += 1;
+            rec_start = pos;
+            name_off[n] = w;
+            name_len[n] = (int32_t)(b - a - 1);
+            memcpy(out + w, buf + a + 1, (size_t)(b - a - 1));
+            w += b - a - 1;
+            seq_off[n] = w;
+            seq_len[n] = 0;
+            *consumed = pos;  // provisional: this record is incomplete
+        } else if (n < 0) {
+            *err_off = pos;
+            return -1;
+        } else {
+            memcpy(out + w, buf + a, (size_t)(b - a));
+            w += b - a;
+            seq_len[n] += (int32_t)(b - a);
+        }
+        pos = next;
+    }
+    if (n < 0) { *consumed = final ? pos : 0; *out_used = 0; return 0; }
+    if (final) {
+        *consumed = pos;
+        *out_used = w;
+        return n + 1;
+    }
+    // drop the trailing incomplete record (re-parsed with the next chunk)
+    *out_used = name_off[n];
+    *consumed = rec_start;
+    return n;
+}
+
+// Assemble trimmed FASTA output: '>' name '\n' seq[start:stop] '\n' for
+// records with keep[i] != 0. Returns bytes written, -1 on overflow.
+int64_t fasta_format_trimmed(
+    const uint8_t* buf,
+    const int64_t* name_off, const int32_t* name_len,
+    const int64_t* seq_off,
+    const int32_t* keep_start, const int32_t* keep_stop,
+    const uint8_t* keep,
+    int64_t n_records,
+    uint8_t* out, int64_t out_cap)
+{
+    int64_t w = 0;
+    for (int64_t i = 0; i < n_records; ++i) {
+        if (!keep[i]) continue;
+        int64_t klen = keep_stop[i] - keep_start[i];
+        if (klen < 0) klen = 0;
+        if (w + 3 + name_len[i] + klen > out_cap) return -1;
+        out[w++] = '>';
+        memcpy(out + w, buf + name_off[i], (size_t)name_len[i]);
+        w += name_len[i];
+        out[w++] = '\n';
+        memcpy(out + w, buf + seq_off[i] + keep_start[i], (size_t)klen);
+        w += klen;
+        out[w++] = '\n';
+    }
+    return w;
+}
+
 // Presence bitmap of byte values over the given records' payload bytes.
 // out_present must be uint8[256]; existing nonzero entries are preserved
 // (callers can accumulate over several record ranges).
