@@ -147,13 +147,15 @@ class _Inflight:
     __slots__ = (
         "bundle", "chunk", "sub", "batch", "width", "pad_b",
         "keep_start", "keep_stop", "n", "seqs", "host_q",
-        "match_data", "win_start", "win_stop",
+        "match_data", "win_start", "win_stop", "cut_start", "cut_stop",
     )
 
     def __init__(self, **kw):
         self.match_data = None
         self.win_start = None
         self.win_stop = None
+        self.cut_start = None
+        self.cut_stop = None
         for key, val in kw.items():
             setattr(self, key, val)
 
@@ -264,7 +266,8 @@ class _MateLane:
     """
 
     def __init__(self, *, cut_front, cut_back, quality, nextseq, cutter,
-                 cutter_mod, insert_adapter=None, insert_role=None):
+                 cutter_mod, insert_adapter=None, insert_role=None,
+                 post_mods=()):
         self.cut_front = cut_front
         self.cut_back = cut_back
         self.quality = quality
@@ -272,6 +275,7 @@ class _MateLane:
         self.cutter = cutter
         self.cutter_mod = cutter_mod
         self.insert_role = insert_role
+        self.post_mods = list(post_mods)
         if cutter:
             self.adapters = cutter.adapters
         elif insert_adapter is not None:
@@ -360,13 +364,22 @@ class _MateLane:
         decline-reason string when a stage is unsupported or out of the
         default C -> G -> Q -> A order. ``insert_adapter``/``insert_role``
         configure the lane as one mate of an insert-align pair."""
+        from atropos_tpu.commands.trim.modifiers import (
+            MinCutter,
+            NEndTrimmer,
+        )
+
         cut_front = cut_back = 0
         quality = None
         nextseq = None
         cutter = None
         cutter_mod = None
+        post = []
         for mod in mods:
-            if isinstance(mod, UnconditionalCutter):
+            if type(mod) in (MinCutter, NEndTrimmer):
+                # post-adapter fixed stages, applied by apply_post
+                post.append(mod)
+            elif isinstance(mod, UnconditionalCutter):
                 cut_front, cut_back = mod.front_length, mod.back_length
                 cutter_mod = mod
             elif isinstance(mod, QualityTrimmer):
@@ -390,7 +403,7 @@ class _MateLane:
                 (AdapterCutter, cutter),
             )
             if present is not None
-        ]
+        ] + [type(mod) for mod in post]
         if order != expected:
             return "non-default op order"
         for adapter in (cutter.adapters if cutter else []):
@@ -409,6 +422,7 @@ class _MateLane:
             cutter_mod=cutter_mod,
             insert_adapter=insert_adapter,
             insert_role=insert_role,
+            post_mods=post,
         )
 
     # -- device step builder --------------------------------------------------
@@ -712,6 +726,9 @@ class _MateLane:
         width = int(n.max()) if batch else 0
         width = max(8, -(-width // 32) * 32)
         pad_b = self._pad_batch(batch)
+        # post-cut window, kept for post-stage provenance accounting
+        cut_start = keep_start.copy()
+        cut_stop = keep_stop.copy()
 
         # host-side window matrix at the fixed-cut offset (feeds the
         # anchored matchers, adapter statistics and N-counting; never
@@ -814,6 +831,8 @@ class _MateLane:
             pad_b=pad_b,
             keep_start=keep_start,
             keep_stop=keep_stop,
+            cut_start=cut_start,
+            cut_stop=cut_stop,
             n=n,
             seqs=seqs,
             host_q=host_q,
@@ -1003,6 +1022,119 @@ class _MateLane:
         if ftype is UntrimmedFilter:
             return ~matched
         raise AssertionError(ftype)  # pragma: no cover - excluded at build
+
+    def apply_post(self, tok, keep_start, keep_stop, matched):
+        """Vectorized post-adapter fixed stages (NEndTrimmer / MinCutter)
+        with the reference's provenance bookkeeping: ``Sequence.clipped``
+        lanes (pre/post adapter per end, requested amounts for clip()
+        and actual amounts for subseq()) and MatchInfo.rsize_total
+        credits (ref ``modifiers.py:592-650,766-784``)."""
+        if not self.post_mods:
+            return keep_start, keep_stop
+        from atropos_tpu.commands.trim.modifiers import MinCutter, NEndTrimmer
+
+        batch = tok.batch
+        clip = np.zeros((4, batch), np.int64)
+        # C-stage fixed cuts record their REQUESTED amounts for nonempty
+        # reads (pre-match lanes 0/1, Trimmer.clip semantics)
+        if self.cut_front or self.cut_back:
+            nonempty = tok.n > 0
+            clip[0, nonempty] += self.cut_front
+            clip[1, nonempty] += -self.cut_back
+        # quality stages record their ACTUAL amounts (subseq semantics)
+        if tok.win_start is not None and tok.cut_start is not None:
+            clip[0] += tok.win_start - tok.cut_start
+            clip[1] += tok.cut_stop - tok.win_stop
+        md = tok.match_data
+        # adapter credits via MatchInfo.rsize_total: front match -> rstop,
+        # back match -> window_len - rstart
+        rsize_front = np.zeros(batch, np.int64)
+        rsize_back = np.zeros(batch, np.int64)
+        is_front = np.zeros(batch, bool)
+        if md is not None:
+            window_len = tok.win_stop - tok.win_start
+            is_front = md["front"] & matched
+            back_m = matched & ~md["front"]
+            rsize_front[is_front] = md["rstop"][is_front]
+            rsize_back[back_m] = (window_len - md["rstart"])[back_m]
+
+        pre = ~matched  # clipped lane selector: 0/1 pre-match, 2/3 post
+        cur_start = keep_start.astype(np.int64)
+        cur_stop = keep_stop.astype(np.int64)
+
+        def bump_clip(front_amt, back_amt):
+            clip[0] += np.where(pre, front_amt, 0)
+            clip[2] += np.where(~pre, front_amt, 0)
+            clip[1] += np.where(pre, back_amt, 0)
+            clip[3] += np.where(~pre, back_amt, 0)
+
+        for mod in self.post_mods:
+            wl = cur_stop - cur_start
+            alive = wl > 0
+            if type(mod) is NEndTrimmer:
+                heads, tails = self._end_n_runs(tok, cur_start, cur_stop)
+                heads = np.where(alive, heads, 0)
+                tails = np.where(alive, tails, 0)
+                mod.trimmed_bases += int((heads + tails).sum())
+                bump_clip(heads, tails)
+                tail_start = wl - tails  # subseq end index (pre-clamp)
+                new_start = cur_start + np.minimum(heads, wl)
+                new_stop = cur_start + np.clip(tail_start, 0, wl)
+                cur_start = new_start
+                cur_stop = np.maximum(new_stop, new_start)
+            else:  # MinCutter
+                if mod.only_trimmed:
+                    side_front = is_front
+                    side_back = matched & ~is_front
+                else:
+                    side_front = side_back = np.ones(batch, bool)
+                if mod.count_trimmed:
+                    credit_front = clip[0] + clip[2] + rsize_front
+                    credit_back = clip[1] + clip[3] + rsize_back
+                else:
+                    credit_front = np.where(matched, clip[2], clip[0])
+                    credit_back = np.where(matched, clip[3], clip[1])
+                front_amt = np.where(
+                    side_front,
+                    np.maximum(mod.front_length - credit_front, 0),
+                    0,
+                )
+                back_amt = np.where(
+                    side_back,
+                    np.minimum(credit_back + mod.back_length, 0),
+                    0,
+                )
+                active = alive & ((front_amt > 0) | (back_amt < 0))
+                front_amt = np.where(active, front_amt, 0)
+                back_amt = np.where(active, -back_amt, 0)  # now positive
+                mod.trimmed_bases += int((front_amt + back_amt).sum())
+                bump_clip(front_amt, back_amt)
+                new_start = cur_start + np.minimum(front_amt, wl)
+                new_stop = cur_stop - np.minimum(back_amt, wl)
+                cur_start = new_start
+                cur_stop = np.maximum(new_stop, new_start)
+        return cur_start.astype(np.int32), cur_stop.astype(np.int32)
+
+    def _end_n_runs(self, tok, cur_start, cur_stop):
+        """Per-read lengths of the leading and trailing 'N' runs inside
+        the current windows (regex ^N+/N+$ semantics: an all-N read
+        reports BOTH runs at full length)."""
+        batch = tok.batch
+        base = tok.keep_start
+        a = (cur_start - base)[:, None]
+        b = (cur_stop - base)[:, None]
+        idx = np.arange(tok.width, dtype=np.int64)[None, :]
+        in_win = (idx >= a) & (idx < b)
+        not_n = in_win & (tok.seqs[:batch] != ord("N"))
+        has = not_n.any(axis=1)
+        wl = (b - a)[:, 0]
+        first = np.where(has, not_n.argmax(axis=1), b[:, 0])
+        heads = first - a[:, 0]
+        last = np.where(
+            has, tok.width - 1 - not_n[:, ::-1].argmax(axis=1), a[:, 0] - 1
+        )
+        tails = b[:, 0] - 1 - last
+        return np.where(has, heads, wl), np.where(has, tails, wl)
 
     def _apply_quality(self, tok, q_extras, keep_start, keep_stop):
         """Apply fetched NextSeq/quality windows and count their stats —
@@ -2182,6 +2314,9 @@ class TurboTrimRunner(_TurboRunnerBase):
 
     def _resolve(self, tok):
         keep_start, keep_stop, matched = self.lane.resolve_windows(tok)
+        keep_start, keep_stop = self.lane.apply_post(
+            tok, keep_start, keep_stop, matched
+        )
         final_len = keep_stop - keep_start
 
         # filters, in registration order (first match wins)
@@ -2518,6 +2653,8 @@ class TurboPairedRunner(_TurboRunnerBase):
             self._check_pair_names(tok1, tok2)
             ks1, kp1, matched1 = self.lane1.resolve_windows(tok1)
             ks2, kp2, matched2 = self.lane2.resolve_windows(tok2)
+        ks1, kp1 = self.lane1.apply_post(tok1, ks1, kp1, matched1)
+        ks2, kp2 = self.lane2.apply_post(tok2, ks2, kp2, matched2)
         self._finish_pair(tok1, tok2, ks1, kp1, matched1, ks2, kp2, matched2)
 
     def _finish_pair(self, tok1, tok2, ks1, kp1, matched1, ks2, kp2,
