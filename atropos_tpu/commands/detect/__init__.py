@@ -27,6 +27,7 @@ from atropos_tpu.commands.base import (
     SingleEndPipelineMixin,
 )
 from atropos_tpu.commands.detect.kmers import (
+    batch_intersections,
     count_corpus,
     intersection_size,
     packed_kmer_set,
@@ -189,6 +190,14 @@ class ContaminantMatcher:
         best-orientation sequence)."""
         fw_hits, fw_total = self._side_score(seq, packed_fw)
         rv_hits, rv_total = self._side_score(seqrc, packed_rv)
+        return self.apply_score(
+            fw_hits, fw_total, rv_hits, rv_total, seq, seqrc
+        )
+
+    def apply_score(self, fw_hits, fw_total, rv_hits, rv_total, seq, seqrc):
+        """Fold one read's precomputed per-orientation scores into the
+        matcher's state (the tail of :meth:`match`; lets the batched
+        device intersection path feed whole score matrices)."""
         if fw_hits >= rv_hits:
             hits, total, oriented = fw_hits, fw_total, seq
         else:
@@ -389,12 +398,45 @@ class KnownContaminantDetector(Detector):
         hit_counts = defaultdict(int)
         best_fracs = defaultdict(int)
 
-        for seq in self._read_sequences:
-            seqrc = reverse_complement(seq)
-            packed_fw = packed_kmer_set(seq, self.kmer_size)
-            packed_rv = packed_kmer_set(seqrc, self.kmer_size)
-            for matcher in matchers:
-                frac, _, _ = matcher.match(seq, seqrc, packed_fw, packed_rv)
+        seqs = list(self._read_sequences)
+        rcs = [reverse_complement(seq) for seq in seqs]
+        packed_fw = [packed_kmer_set(seq, self.kmer_size) for seq in seqs]
+        packed_rv = [packed_kmer_set(rc, self.kmer_size) for rc in rcs]
+
+        # one batched device op scores the whole contaminant panel
+        # against every packable read at once; unpackable reads (and
+        # unpackable contaminants) keep the per-pair path
+        fw_mat = rv_mat = None
+        cols = {}
+        contam_sets = [matcher._packed for matcher in matchers]
+        if matchers and all(arr is not None for arr in contam_sets):
+            rows = [
+                i for i in range(len(seqs))
+                if packed_fw[i] is not None and packed_rv[i] is not None
+            ]
+            if rows:
+                cols = {read_i: col for col, read_i in enumerate(rows)}
+                fw_mat = batch_intersections(
+                    contam_sets, [packed_fw[i] for i in rows]
+                )
+                rv_mat = batch_intersections(
+                    contam_sets, [packed_rv[i] for i in rows]
+                )
+
+        for i, seq in enumerate(seqs):
+            seqrc = rcs[i]
+            col = cols.get(i)
+            for m_idx, matcher in enumerate(matchers):
+                if col is not None:
+                    frac, _, _ = matcher.apply_score(
+                        float(fw_mat[m_idx, col]), packed_fw[i].shape[0],
+                        float(rv_mat[m_idx, col]), packed_rv[i].shape[0],
+                        seq, seqrc,
+                    )
+                else:
+                    frac, _, _ = matcher.match(
+                        seq, seqrc, packed_fw[i], packed_rv[i]
+                    )
                 if frac > self.min_kmer_match_frac:
                     hit_counts[matcher] += 1
                     if frac > best_fracs[matcher]:

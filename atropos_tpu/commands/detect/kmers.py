@@ -27,8 +27,9 @@ MAX_PACKED_K = 27
 #: TPU programs default to 32-bit integers)
 MAX_DEVICE_K = 13
 
-#: telemetry: k-mer count batches whose sort ran on device
-DEVICE_KMER_COUNTS = {"batches": 0}
+#: telemetry: k-mer batches whose sort+count (``batches``) or batched
+#: contaminant intersections (``intersect_batches``) ran on device
+DEVICE_KMER_COUNTS = {"batches": 0, "intersect_batches": 0}
 
 _DEVICE_MIN_CODES = 1 << 14
 _SENTINEL32 = np.int32(2 ** 31 - 1)
@@ -47,19 +48,44 @@ def _device_kmers_enabled():
 
 
 @functools.lru_cache(maxsize=None)
-def _device_sort_fn(size):
+def _device_count_fn(size):
+    """Device sort + run-length count over a padded code vector.
+
+    Fixed-shape segment counting (the device image of a segment-sum over
+    sorted codes, reference semantics
+    ``atropos/commands/detect/__init__.py:552-744``): boundaries come
+    from a shifted compare, each run's length from the distance to the
+    NEXT boundary, computed with a reversed inclusive cummin over start
+    positions. The host then only compacts by the boundary mask.
+    """
     import jax
     import jax.numpy as jnp
 
-    return jax.jit(lambda codes: jnp.sort(codes))
+    def count(codes):
+        ordered = jnp.sort(codes)
+        pos = jnp.arange(size, dtype=jnp.int32)
+        is_start = jnp.concatenate(
+            [jnp.ones(1, bool), ordered[1:] != ordered[:-1]]
+        )
+        start_pos = jnp.where(is_start, pos, jnp.int32(size))
+        # next boundary at-or-after each position, then shift left by one
+        # to get the boundary strictly after i
+        next_at = jax.lax.cummin(start_pos[::-1])[::-1]
+        next_after = jnp.concatenate(
+            [next_at[1:], jnp.full(1, size, jnp.int32)]
+        )
+        counts = jnp.where(is_start, next_after - pos, 0)
+        return ordered, is_start, counts
+
+    return jax.jit(count)
 
 
 def _unique_counts(flat):
     """(codes, counts) over a flat packed-code array.
 
-    The dominant cost is the sort; when the codes fit int32 (k <=
-    MAX_DEVICE_K) and the array is large, it runs on device — the
-    counting itself is a linear boundary scan over the sorted array.
+    When the codes fit int32 (k <= MAX_DEVICE_K) and the array is
+    large, the sort AND the run-length counting run on device; the host
+    only compacts by the returned boundary mask.
     """
     if (
         flat.size >= _DEVICE_MIN_CODES
@@ -72,14 +98,15 @@ def _unique_counts(flat):
         size = 1 << (flat.size - 1).bit_length()
         padded = np.full(size, _SENTINEL32, np.int32)
         padded[: flat.size] = flat.astype(np.int32)
-        sorted_codes = np.asarray(_device_sort_fn(size)(jnp.asarray(padded)))
-        DEVICE_KMER_COUNTS["batches"] += 1
-        sorted_codes = sorted_codes[: flat.size].astype(np.int64)
-        starts = np.flatnonzero(
-            np.concatenate(([True], sorted_codes[1:] != sorted_codes[:-1]))
+        ordered, is_start, counts = (
+            np.asarray(arr)
+            for arr in _device_count_fn(size)(jnp.asarray(padded))
         )
-        counts = np.diff(np.append(starts, sorted_codes.shape[0]))
-        return sorted_codes[starts], counts
+        DEVICE_KMER_COUNTS["batches"] += 1
+        # pads (sentinel) sort after every real code into their own run,
+        # so masking them cannot disturb any real run's count
+        keep = is_start & (ordered != _SENTINEL32)
+        return ordered[keep].astype(np.int64), counts[keep].astype(np.int64)
     return np.unique(flat, return_counts=True)
 
 
@@ -182,3 +209,72 @@ def _unique_pairs(codes, owners):
 def intersection_size(set_a, set_b):
     """|A ∩ B| for two sorted unique code arrays."""
     return np.intersect1d(set_a, set_b, assume_unique=True).shape[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _device_intersect_fn(n_contam, c_max, r_max):
+    """All-pairs sorted-set intersection sizes on device.
+
+    For every (contaminant, read) pair: count read codes present in the
+    contaminant's sorted code set via a vectorized binary-search
+    membership test — one op for the whole contaminant panel instead of
+    the reference's per-read per-contaminant Python set intersection
+    (``atropos/commands/detect/__init__.py:231-286``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def intersect(contams, reads):
+        # contams: [M, Cmax] int32 sorted, sentinel-padded
+        # reads: [R, Rmax] int32 sorted, sentinel-padded
+        def one_pair(contam_row, read_row):
+            idx = jnp.searchsorted(contam_row, read_row)
+            hit = (
+                contam_row[jnp.clip(idx, 0, c_max - 1)] == read_row
+            ) & (read_row != _SENTINEL32)
+            return jnp.sum(hit.astype(jnp.int32))
+
+        per_contam = jax.vmap(one_pair, in_axes=(None, 0))
+        return jax.vmap(per_contam, in_axes=(0, None))(contams, reads)
+
+    return jax.jit(intersect)
+
+
+def batch_intersections(contam_sets, read_sets):
+    """[M, R] intersection-size matrix between contaminant and read
+    packed-code sets (device when enabled and worthwhile, host numpy
+    otherwise). All inputs are sorted unique int code arrays."""
+    n_contam = len(contam_sets)
+    n_reads = len(read_sets)
+    out = np.zeros((n_contam, n_reads), np.int64)
+    if not n_contam or not n_reads:
+        return out
+    c_max = max(arr.shape[0] for arr in contam_sets)
+    r_max = max((arr.shape[0] for arr in read_sets), default=0)
+    max_code = max(
+        max((int(arr[-1]) for arr in contam_sets if arr.size), default=0),
+        max((int(arr[-1]) for arr in read_sets if arr.size), default=0),
+    )
+    if (
+        _device_kmers_enabled()
+        and max_code < 2 ** 31 - 1
+        and c_max > 0
+        and r_max > 0
+        and n_contam * n_reads >= 256
+    ):
+        import jax.numpy as jnp
+
+        contams = np.full((n_contam, c_max), _SENTINEL32, np.int32)
+        for row, arr in enumerate(contam_sets):
+            contams[row, : arr.shape[0]] = arr.astype(np.int32)
+        reads = np.full((n_reads, r_max), _SENTINEL32, np.int32)
+        for row, arr in enumerate(read_sets):
+            reads[row, : arr.shape[0]] = arr.astype(np.int32)
+        fn = _device_intersect_fn(n_contam, c_max, r_max)
+        out[:] = np.asarray(fn(jnp.asarray(contams), jnp.asarray(reads)))
+        DEVICE_KMER_COUNTS["intersect_batches"] += 1
+        return out
+    for m_idx, contam in enumerate(contam_sets):
+        for r_idx, read in enumerate(read_sets):
+            out[m_idx, r_idx] = intersection_size(contam, read)
+    return out

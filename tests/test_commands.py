@@ -267,3 +267,33 @@ def test_device_kmer_counts_match_host(monkeypatch):
     monkeypatch.setenv("ATROPOS_TPU_DEVICE_KMERS", "1")
     device_m = kmers.count_corpus(seqs, k, with_membership=True)
     assert host_m == device_m
+
+
+def test_device_batch_intersections_match_host(monkeypatch):
+    """The all-pairs contaminant/read intersection matrix (one device op
+    for the whole panel) must agree with per-pair intersection_size, and
+    the telemetry must prove the device path ran."""
+    import numpy as np
+
+    from atropos_tpu.commands.detect import kmers
+
+    rng = np.random.default_rng(7)
+    contams = [
+        np.unique(rng.integers(0, 4000, size=int(n)))
+        for n in rng.integers(8, 120, size=24)
+    ]
+    reads = [
+        np.unique(rng.integers(0, 4000, size=int(n)))
+        for n in rng.integers(5, 60, size=64)
+    ]
+    monkeypatch.setenv("ATROPOS_TPU_DEVICE_KMERS", "1")
+    before = kmers.DEVICE_KMER_COUNTS["intersect_batches"]
+    mat = kmers.batch_intersections(contams, reads)
+    assert kmers.DEVICE_KMER_COUNTS["intersect_batches"] > before, (
+        "device intersections forced but the batched op never ran"
+    )
+    for m_idx in range(len(contams)):
+        for r_idx in range(len(reads)):
+            assert mat[m_idx, r_idx] == kmers.intersection_size(
+                contams[m_idx], reads[r_idx]
+            )
