@@ -408,6 +408,7 @@ def _locate_kernel(
     ins_cost,
     del_cost,
     compare_ascii,
+    debug=False,
 ):
     """Core batched DP.
 
@@ -570,10 +571,11 @@ def _locate_kernel(
             done = done | (ok & (cost_m == 0) & (mat_m == m))
 
         last = jnp.where(active, new_last, last)
-        return (cost_c, pay_c, last, best, done), None
+        snapshot = (cost_c, write) if debug else None
+        return (cost_c, pay_c, last, best, done), snapshot
 
     js = jnp.arange(1, L + 1, dtype=jnp.int32)
-    (cost_c, pay_c, last, best, done), _ = lax.scan(
+    (cost_c, pay_c, last, best, done), snapshots = lax.scan(
         column_step,
         (cost0, pay0, last0, best0, done0),
         (js, q_cols),
@@ -625,7 +627,7 @@ def _locate_kernel(
     origin = best["origin"][0]
     start1 = jnp.where(origin >= 0, 0, -origin)
     start2 = jnp.where(origin >= 0, origin, 0)
-    return dict(
+    out = dict(
         found=found,
         start1=start1,
         stop1=best["ref_stop"][0],
@@ -634,6 +636,53 @@ def _locate_kernel(
         matches=best["matches"][0],
         cost=best["cost"][0],
     )
+    if debug:
+        # per-column (cost, writeback-mask) snapshots [L, m+1, B] — the
+        # kernel's DP-matrix debug path (SURVEY §5; scalar counterpart
+        # ``oracle.DPMatrix`` / reference ``_align.pyx:88-119``)
+        out["debug_cost"], out["debug_write"] = snapshots
+    return out
+
+
+def debug_dp_matrix(reference, query, flags, max_error_rate=0.1,
+                    min_overlap=1, indel_cost=1, wildcard_ref=False,
+                    wildcard_query=False):
+    """Run the batched kernel in debug mode for one read and return the
+    oracle-format DP cost matrix: an (m+1) x (n+1) list-of-lists where
+    cells the band never computed stay None — directly diffable against
+    ``oracle.Aligner`` with ``enable_debug()``."""
+    aligner = BatchAligner(
+        reference, max_error_rate, flags,
+        wildcard_ref=wildcard_ref, wildcard_query=wildcard_query,
+        min_overlap=min_overlap, indel_cost=indel_cost,
+    )
+    reads, lengths = encode_reads([query])
+    translated = aligner._query_lut_np[reads]
+    init = _initial_state_np(
+        lengths, m=aligner.m, k=aligner.k, flags=flags, ins_cost=indel_cost
+    )
+    kernel = jax.jit(functools.partial(aligner._kernel_fn, debug=True))
+    out = kernel(
+        jnp.asarray(translated),
+        jnp.asarray(lengths),
+        aligner._ref_arr,
+        aligner._thresholds,
+        *(jnp.asarray(x) for x in init),
+    )
+    cost_cols = np.asarray(out["debug_cost"])[:, :, 0]    # [L, m+1]
+    write_cols = np.asarray(out["debug_write"])[:, :, 0]  # [L, m+1]
+    m = aligner.m
+    n = len(query)
+    stop_in_query = bool(flags & STOP_WITHIN_SEQ2)
+    min_n = 0 if stop_in_query else max(0, n - m - aligner.k)
+    matrix = [[None] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        matrix[i][min_n] = int(init[0][i, 0])
+    for j in range(1, n + 1):
+        for i in range(m + 1):
+            if write_cols[j - 1, i]:
+                matrix[i][j] = int(cost_cols[j - 1, i])
+    return matrix
 
 
 # ---------------------------------------------------------------------------

@@ -1966,6 +1966,26 @@ class _TurboRunnerBase:
             self._out_fmts[path] = fmt
         return fmt
 
+    @staticmethod
+    def _start_profile():
+        """Optional JAX profiler trace around the turbo run (SURVEY §5
+        tracing rebuild note): ``ATROPOS_TPU_PROFILE=<dir>`` captures a
+        device+host trace viewable in TensorBoard/Perfetto."""
+        trace_dir = os.environ.get("ATROPOS_TPU_PROFILE")
+        if not trace_dir:
+            return False
+        import jax
+
+        jax.profiler.start_trace(trace_dir)
+        return True
+
+    @staticmethod
+    def _stop_profile(started):
+        if started:
+            import jax
+
+            jax.profiler.stop_trace()
+
     def _open_output(self, path):
         """Binary output handle (bytes from the native formatter go
         straight through — no text-codec round trip). Honors the Writers
@@ -2277,6 +2297,7 @@ class TurboTrimRunner(_TurboRunnerBase):
         seen = 0
         stream = _ChunkStream(options.input1, self.CHUNK_BYTES, self._in_fmt)
         self._writer = _AsyncWriter()
+        profiling = self._start_profile()
         try:
             while True:
                 chunk = stream.next_chunk()
@@ -2304,6 +2325,7 @@ class TurboTrimRunner(_TurboRunnerBase):
         while inflight:
             self._resolve(inflight.popleft())
         self._writer.close()
+        self._stop_profile(profiling)
 
         self._update_counts(total_records, (total_bp, 0))
         out.flush()
@@ -2513,6 +2535,7 @@ class TurboPairedRunner(_TurboRunnerBase):
         s1 = _ChunkStream(options.input1, self.CHUNK_BYTES, self._in_fmts[0])
         s2 = _ChunkStream(options.input2, self.CHUNK_BYTES, self._in_fmts[1])
         self._writer = _AsyncWriter()
+        profiling = self._start_profile()
         from atropos_tpu.commands.cli import int_or_str
 
         quota = int_or_str(options.max_reads) or None
@@ -2571,6 +2594,7 @@ class TurboPairedRunner(_TurboRunnerBase):
         while inflight:
             self._resolve_item(inflight.popleft())
         self._writer.close()
+        self._stop_profile(profiling)
 
         self._update_counts(total_pairs, (bp1, bp2))
         out1.flush()

@@ -244,3 +244,33 @@ def test_nextseq_trim_parity():
         for idx in range(len(seqs)):
             expected = nextseq_trim_index(_Rec(seqs[idx], quals[idx]), cutoff)
             assert int(stops[idx]) == expected
+
+
+def test_debug_dp_matrix_matches_oracle():
+    """The batched kernel's debug DP-matrix path (SURVEY §5) must equal
+    the scalar oracle's dpmatrix cell for cell — including which cells
+    the Ukkonen band computed (None elsewhere)."""
+    from atropos_tpu.align import oracle
+    from atropos_tpu.align.batched import debug_dp_matrix
+    from atropos_tpu.align.flags import (
+        SEMIGLOBAL,
+        START_WITHIN_SEQ2,
+        STOP_WITHIN_SEQ1,
+        STOP_WITHIN_SEQ2,
+    )
+
+    back = START_WITHIN_SEQ2 | STOP_WITHIN_SEQ2 | STOP_WITHIN_SEQ1
+    cases = [
+        ("ADAPTER", "THEADAPTERISHERE", back),
+        ("ADAPTER", "THEADAPXERISHERE", back),
+        ("ADAPTER", "NOMATCHATALLXXXX", back),
+        ("TTAGACATAT", "GCTTAGACATATAGG", SEMIGLOBAL),
+        ("TTAGACATAT", "GCTTAGACTATAGG", SEMIGLOBAL),
+    ]
+    for ref, query, flags in cases:
+        scalar = oracle.Aligner(ref, 0.1, flags)
+        scalar.enable_debug()
+        scalar.locate(query)
+        expected = scalar.dpmatrix._rows
+        actual = debug_dp_matrix(ref, query, flags)
+        assert actual == expected, (ref, query, flags)
