@@ -718,10 +718,12 @@ class PallasAligner:
     as in the scalar kernel)."""
 
     # batch tile width; must stay a positive multiple of the 128-lane TPU
-    # tile or Mosaic rejects the layout at compile time. 512 measured best
-    # on v5e for the fused kernel (sweep: 128/512/1024/2048/4096)
+    # tile or Mosaic rejects the layout at compile time. 256 measured best
+    # on v5e at saturating batches (round-4 sweep, tools/sweep_kernel.py:
+    # 13.2-14.0M reads/s at BATCH=65536 vs 12.2M for 512; table in
+    # PERF.md)
     BLOCK = _env_int(
-        "ATROPOS_TPU_PALLAS_BLOCK", 512, lambda v: v > 0 and v % 128 == 0
+        "ATROPOS_TPU_PALLAS_BLOCK", 256, lambda v: v > 0 and v % 128 == 0
     )
     INTERPRET = False  # set True for CPU interpret-mode testing
 

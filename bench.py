@@ -50,7 +50,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_READS_PER_SEC = 42_000.0  # reference: ~800k pairs / ~38 s on 4 cores
 
 ADAPTER = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"  # TruSeq, 33 bp
-BATCH = 16384
+BATCH = 65536  # kernel-window batch; 64k saturates the v5e (PERF.md sweep)
 READ_LEN = 100
 ITERS = 64
 TRIALS = 5
