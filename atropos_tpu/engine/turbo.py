@@ -1770,6 +1770,38 @@ class _InsertPair:
         return np.where(trim, ks + mate["rstart"], kp).astype(np.int32)
 
 
+def _record_byte_lengths(chunk, sub, keep_start, keep_stop, keep, fmt):
+    """Per-record output byte length for the KEPT records, matching the
+    native formatters' layout exactly."""
+    name_len = chunk.name_len[sub][keep].astype(np.int64)
+    klen = np.maximum(keep_stop - keep_start, 0)[keep].astype(np.int64)
+    if fmt == "fasta":
+        return 2 + name_len + klen + 1
+    plus_len = chunk.plus_len[sub][keep].astype(np.int64)
+    return 4 + name_len + 2 * klen + plus_len + 2
+
+
+def _interleave_records(parts1, parts2):
+    """Merge two formatted byte streams record-alternately: (bytes,
+    per-record lengths) per mate in, interleaved bytes out (one ranges
+    gather, no per-record Python)."""
+    (b1, l1), (b2, l2) = parts1, parts2
+    count = l1.shape[0]
+    if count == 0:
+        return b""
+    src = np.frombuffer(b1 + b2, np.uint8)
+    starts = np.empty(2 * count, np.int64)
+    starts[0::2] = np.cumsum(l1) - l1
+    starts[1::2] = len(b1) + np.cumsum(l2) - l2
+    sizes = np.empty(2 * count, np.int64)
+    sizes[0::2] = l1
+    sizes[1::2] = l2
+    total = int(sizes.sum())
+    pos = np.repeat(np.cumsum(sizes) - sizes, sizes)
+    idx = np.arange(total, dtype=np.int64) - pos + np.repeat(starts, sizes)
+    return src[idx].tobytes()
+
+
 def _format_records(chunk, sub, keep_start, keep_stop, keep, fmt="fastq"):
     """Native formatter: trimmed FASTQ/FASTA bytes for the kept records."""
     from atropos_tpu.runtime import _i32, _i64, _lib, _u8
@@ -1931,23 +1963,27 @@ class _TurboRunnerBase:
         return fmt if fmt in ("fastq", "fasta") else None
 
     @classmethod
-    def _collect_output_formats(cls, formatters):
+    def _collect_output_formats(cls, formatters, allow_interleaved=False):
         """{path: format} for every destination formatter (main output
         plus untrimmed / too-short / too-long files), or a decline-reason
         string. Also rejects one path serving different mate roles
         (per-batch grouped writes could not reproduce the scalar byte
-        interleaving then)."""
+        interleaving then). Interleaved formatters (both mates, one
+        file, record-alternating) are tracked by role 3."""
         from atropos_tpu.io.seqio import InterleavedFormatter
 
         fmts = {}
         role_of = {}
         for formatter in formatters.seq_formatters.values():
             if isinstance(formatter, InterleavedFormatter):
-                return "interleaved output"
-            roles = [(formatter.file1, 1)]
-            file2 = getattr(formatter, "file2", None)
-            if file2 is not None:
-                roles.append((file2, 2))
+                if not allow_interleaved:
+                    return "interleaved output"
+                roles = [(formatter.file1, 3)]
+            else:
+                roles = [(formatter.file1, 1)]
+                file2 = getattr(formatter, "file2", None)
+                if file2 is not None:
+                    roles.append((file2, 2))
             for path, role in roles:
                 fmt = cls._stream_format(path)
                 if fmt is None:
@@ -2431,25 +2467,36 @@ class TurboPairedRunner(_TurboRunnerBase):
         reason = cls._check_common(command_runner, record_handler)
         if reason:
             return cls._decline(reason)
-        input1, input2 = options.input1, options.input2
-        if (
-            not input1 or not input2
-            or not isinstance(input1, str) or not isinstance(input2, str)
-            or options.interleaved_input
-        ):
-            return cls._decline("interleaved or non-path paired input")
-        in_fmt1 = cls._stream_format(input1, options.format)
-        in_fmt2 = cls._stream_format(input2, options.format)
-        if in_fmt1 is None or in_fmt2 is None:
-            return cls._decline("unsupported paired input format")
+        if options.interleaved_input:
+            if not isinstance(options.interleaved_input, str):
+                return cls._decline("non-path interleaved input")
+            in_fmt1 = in_fmt2 = cls._stream_format(
+                options.interleaved_input, options.format
+            )
+            if in_fmt1 is None:
+                return cls._decline("unsupported interleaved input format")
+        else:
+            input1, input2 = options.input1, options.input2
+            if (
+                not input1 or not input2
+                or not isinstance(input1, str) or not isinstance(input2, str)
+            ):
+                return cls._decline("non-path paired input")
+            in_fmt1 = cls._stream_format(input1, options.format)
+            in_fmt2 = cls._stream_format(input2, options.format)
+            if in_fmt1 is None or in_fmt2 is None:
+                return cls._decline("unsupported paired input format")
         if options.interleaved_output:
-            return cls._decline("interleaved output")
-        if (
+            if cls._stream_format(options.interleaved_output) is None:
+                return cls._decline("unsupported interleaved output format")
+        elif (
             cls._stream_format(options.output) is None
             or cls._stream_format(options.paired_output) is None
         ):
             return cls._decline("unsupported output format")
-        out_fmts = cls._collect_output_formats(record_handler.formatters)
+        out_fmts = cls._collect_output_formats(
+            record_handler.formatters, allow_interleaved=True
+        )
         if isinstance(out_fmts, str):
             return cls._decline(out_fmts)
 
@@ -2523,22 +2570,63 @@ class TurboPairedRunner(_TurboRunnerBase):
     def run(self):
         options = self.options
         logging.getLogger().info("Running turbo paired device trim pipeline")
-        out1 = self._open_output(options.output)
-        out2 = self._open_output(options.paired_output)
+        if options.interleaved_output:
+            self._open_output(options.interleaved_output)
+        else:
+            self._open_output(options.output)
+            self._open_output(options.paired_output)
 
-        total_pairs = 0
-        bp1 = bp2 = 0
-        inflight = collections.deque()
-        shard_rank = getattr(self.command_runner, "shard_rank", 0)
-        shard_count = getattr(self.command_runner, "shard_count", 1)
-        batch_index = 0
-        s1 = _ChunkStream(options.input1, self.CHUNK_BYTES, self._in_fmts[0])
-        s2 = _ChunkStream(options.input2, self.CHUNK_BYTES, self._in_fmts[1])
+        self._total_pairs = 0
+        self._bp = [0, 0]
+        self._inflight = collections.deque()
+        self._shard_rank = getattr(self.command_runner, "shard_rank", 0)
+        self._shard_count = getattr(self.command_runner, "shard_count", 1)
+        self._batch_index = 0
         self._writer = _AsyncWriter()
         profiling = self._start_profile()
         from atropos_tpu.commands.cli import int_or_str
 
         quota = int_or_str(options.max_reads) or None
+        if options.interleaved_input:
+            self._pump_interleaved(quota)
+        else:
+            self._pump_two_files(quota)
+        while self._inflight:
+            self._resolve_item(self._inflight.popleft())
+        self._writer.close()
+        self._stop_profile(profiling)
+
+        self._update_counts(self._total_pairs, tuple(self._bp))
+        self.writers.close()
+        return 0
+
+    def _submit_pair(self, chunk1, sub1, chunk2, sub2):
+        """Submit one pair batch if this shard owns it; drain the
+        pipeline window."""
+        owned = self._batch_index % self._shard_count == self._shard_rank
+        self._batch_index += 1
+        if not owned:
+            return
+        lens1 = chunk1.seq_len[sub1]
+        self._total_pairs += lens1.shape[0]
+        self._bp[0] += int(lens1.sum())
+        self._bp[1] += int(chunk2.seq_len[sub2].sum())
+        if self.insert_pair is not None:
+            self._inflight.append(
+                self.insert_pair.submit(chunk1, sub1, chunk2, sub2)
+            )
+        else:
+            self._inflight.append(
+                (self.lane1.submit(chunk1, sub1),
+                 self.lane2.submit(chunk2, sub2))
+            )
+        while len(self._inflight) >= self.DEPTH:
+            self._resolve_item(self._inflight.popleft())
+
+    def _pump_two_files(self, quota):
+        options = self.options
+        s1 = _ChunkStream(options.input1, self.CHUNK_BYTES, self._in_fmts[0])
+        s2 = _ChunkStream(options.input2, self.CHUNK_BYTES, self._in_fmts[1])
         seen_pairs = 0
         cur1 = cur2 = None
         pos1 = pos2 = 0
@@ -2572,35 +2660,58 @@ class TurboPairedRunner(_TurboRunnerBase):
                 sub2 = slice(pos2, pos2 + take)
                 pos1 += take
                 pos2 += take
-                if batch_index % shard_count == shard_rank:
-                    total_pairs += take
-                    bp1 += int(cur1.seq_len[sub1].sum())
-                    bp2 += int(cur2.seq_len[sub2].sum())
-                    if self.insert_pair is not None:
-                        inflight.append(
-                            self.insert_pair.submit(cur1, sub1, cur2, sub2)
-                        )
-                    else:
-                        inflight.append(
-                            (self.lane1.submit(cur1, sub1),
-                             self.lane2.submit(cur2, sub2))
-                        )
-                    while len(inflight) >= self.DEPTH:
-                        self._resolve_item(inflight.popleft())
-                batch_index += 1
+                self._submit_pair(cur1, sub1, cur2, sub2)
         finally:
             s1.close()
             s2.close()
-        while inflight:
-            self._resolve_item(inflight.popleft())
-        self._writer.close()
-        self._stop_profile(profiling)
 
-        self._update_counts(total_pairs, (bp1, bp2))
-        out1.flush()
-        out2.flush()
-        self.writers.close()
-        return 0
+    def _pump_interleaved(self, quota):
+        """Single-stream pairing: even records are mate1, odd mate2
+        (strided subs within a chunk; a chunk-boundary odd tail pairs as
+        a one-pair batch with the next chunk's first record)."""
+        from atropos_tpu.io.seqio import FormatError
+
+        options = self.options
+        stream = _ChunkStream(
+            options.interleaved_input, self.CHUNK_BYTES, self._in_fmts[0]
+        )
+        seen_pairs = 0
+        leftover = None  # (chunk, record index) awaiting its partner
+        try:
+            while True:
+                if quota is not None and seen_pairs >= quota:
+                    return
+                chunk = stream.next_chunk()
+                if chunk is None:
+                    break
+                pos = 0
+                if leftover is not None:
+                    prev_chunk, prev_idx = leftover
+                    leftover = None
+                    self._submit_pair(prev_chunk, [prev_idx], chunk, [0])
+                    seen_pairs += 1
+                    pos = 1
+                while chunk.n - pos >= 2:
+                    if quota is not None and seen_pairs >= quota:
+                        return
+                    take = (chunk.n - pos) // 2
+                    take = min(take, self.MAX_BATCH)
+                    if quota is not None:
+                        take = min(take, quota - seen_pairs)
+                    sub1 = slice(pos, pos + 2 * take, 2)
+                    sub2 = slice(pos + 1, pos + 1 + 2 * take, 2)
+                    self._submit_pair(chunk, sub1, chunk, sub2)
+                    seen_pairs += take
+                    pos += 2 * take
+                if chunk.n - pos == 1:
+                    leftover = (chunk, pos)
+            if leftover is not None:
+                raise FormatError(
+                    "Interleaved input file incomplete: Last record has no "
+                    "partner."
+                )
+        finally:
+            stream.close()
 
     # -- resolve: windows -> pair filters -> formatters ------------------------
 
@@ -2658,6 +2769,11 @@ class TurboPairedRunner(_TurboRunnerBase):
             row = int(np.nonzero(bad)[0][0])
             name1 = a1[row, : len1[row]].tobytes().decode("latin-1")
             name2 = a2[row, : len2[row]].tobytes().decode("latin-1")
+            if self.options.interleaved_input:
+                raise FormatError(
+                    "Reads are improperly paired. Name {0!r} (first) does "
+                    "not match {1!r} (second).".format(name1, name2)
+                )
             raise FormatError(
                 "Reads are improperly paired. Read name '{0}' in file 1 "
                 "does not match '{1}' in file 2.".format(name1, name2)
@@ -2723,6 +2839,9 @@ class TurboPairedRunner(_TurboRunnerBase):
         formatters = self.record_handler.formatters
         masks1 = {}
         masks2 = {}
+        masks_il = {}
+        from atropos_tpu.io.seqio import InterleavedFormatter
+
         for ftype, mask in dest_masks + [(NoFilter, keep)]:
             formatter = formatters.seq_formatters.get(ftype)
             count = int(mask.sum())
@@ -2731,12 +2850,14 @@ class TurboPairedRunner(_TurboRunnerBase):
                 continue
             formatter.written += count
             formatter.read1_bp += int(len1[mask].sum())
+            interleaved = isinstance(formatter, InterleavedFormatter)
             file2 = getattr(formatter, "file2", None)
-            if file2 is not None:
+            if file2 is not None or interleaved:
                 formatter.read2_bp += int(len2[mask].sum())
             if count:
-                prev = masks1.get(formatter.file1)
-                masks1[formatter.file1] = (
+                table = masks_il if interleaved else masks1
+                prev = table.get(formatter.file1)
+                table[formatter.file1] = (
                     mask if prev is None else (prev | mask)
                 )
                 if file2 is not None:
@@ -2753,4 +2874,27 @@ class TurboPairedRunner(_TurboRunnerBase):
                         fmt=self._fmt_of(path),
                     ),
                 )
+        for path, mask in masks_il.items():
+            fmt = self._fmt_of(path)
+            self._writer.write(
+                self._open_output(path),
+                _interleave_records(
+                    (
+                        _format_records(
+                            tok1.chunk, tok1.sub, ks1, kp1, mask, fmt
+                        ),
+                        _record_byte_lengths(
+                            tok1.chunk, tok1.sub, ks1, kp1, mask, fmt
+                        ),
+                    ),
+                    (
+                        _format_records(
+                            tok2.chunk, tok2.sub, ks2, kp2, mask, fmt
+                        ),
+                        _record_byte_lengths(
+                            tok2.chunk, tok2.sub, ks2, kp2, mask, fmt
+                        ),
+                    ),
+                ),
+            )
         self._emit_side_files([(self.lane1, tok1), (self.lane2, tok2)])
