@@ -148,6 +148,7 @@ class _Inflight:
         "bundle", "chunk", "sub", "batch", "width", "pad_b",
         "keep_start", "keep_stop", "n", "seqs", "host_q",
         "match_data", "win_start", "win_stop", "cut_start", "cut_stop",
+        "alt", "qclip",
     )
 
     def __init__(self, **kw):
@@ -156,6 +157,8 @@ class _Inflight:
         self.win_stop = None
         self.cut_start = None
         self.cut_stop = None
+        self.alt = None
+        self.qclip = None
         for key, val in kw.items():
             setattr(self, key, val)
 
@@ -736,6 +739,7 @@ class _MateLane:
         seqs = self._gather(chunk, sub, chunk.seq_off, keep_start, width, pad_b)
         win_len = keep_stop - keep_start
         host_q = {}
+        sync_qclip = None
         quals_in = self._needs_quals
 
         if self._sync_quality:
@@ -784,6 +788,7 @@ class _MateLane:
                 chunk, sub, chunk.seq_off, keep_start, width, pad_b
             )
             host_q = {"applied": True}
+            sync_qclip = (keep_start - cut_start, cut_stop - keep_stop)
             quals_in = False
 
         pack = _pack_info(chunk)
@@ -833,6 +838,7 @@ class _MateLane:
             keep_stop=keep_stop,
             cut_start=cut_start,
             cut_stop=cut_stop,
+            qclip=sync_qclip,
             n=n,
             seqs=seqs,
             host_q=host_q,
@@ -1008,9 +1014,7 @@ class _MateLane:
         if ftype is TooLongReadFilter:
             return final_len > wrapper.filter.maximum_length
         if ftype is NContentFilter:
-            ncount = self._count_n(
-                tok.chunk, tok.sub, keep_start, keep_stop, tok.width
-            )
+            ncount = self._count_n(tok, keep_start, keep_stop)
             fil = wrapper.filter
             if fil.is_proportion:
                 with np.errstate(divide="ignore", invalid="ignore"):
@@ -1042,9 +1046,9 @@ class _MateLane:
             clip[0, nonempty] += self.cut_front
             clip[1, nonempty] += -self.cut_back
         # quality stages record their ACTUAL amounts (subseq semantics)
-        if tok.win_start is not None and tok.cut_start is not None:
-            clip[0] += tok.win_start - tok.cut_start
-            clip[1] += tok.cut_stop - tok.win_stop
+        if tok.qclip is not None:
+            clip[0] += tok.qclip[0]
+            clip[1] += tok.qclip[1]
         md = tok.match_data
         # adapter credits via MatchInfo.rsize_total: front match -> rstop,
         # back match -> window_len - rstart
@@ -1138,8 +1142,12 @@ class _MateLane:
 
     def _apply_quality(self, tok, q_extras, keep_start, keep_stop):
         """Apply fetched NextSeq/quality windows and count their stats —
-        the async twin of the 5'-cutoff sync path in :meth:`submit`."""
+        the async twin of the 5'-cutoff sync path in :meth:`prepare`.
+        Records the per-read actual clip amounts on the token (post-stage
+        provenance: Sequence.subseq semantics)."""
         cursor = 0
+        start_in = keep_start
+        stop_in = keep_stop
         win_len = keep_stop - keep_start
         if self.nextseq is not None:
             stops = q_extras[cursor]
@@ -1161,6 +1169,7 @@ class _MateLane:
             )
             keep_start = np.where(nonempty, new_start, keep_start)
             keep_stop = np.where(nonempty, new_stop, keep_stop)
+        tok.qclip = (keep_start - start_in, stop_in - keep_stop)
         return keep_start, keep_stop
 
     # -- helpers ------------------------------------------------------------
@@ -1287,10 +1296,16 @@ class _MateLane:
                         base = ""
                     adapter.adjacent_bases[base] += int(cnt)
 
-    def _count_n(self, chunk, sub, keep_start, keep_stop, width):
-        seqs = self._gather(chunk, sub, chunk.seq_off, keep_start, width)
-        idx = np.arange(width, dtype=np.int32)[None, :]
-        in_win = idx < (keep_stop - keep_start)[:, None]
+    def _count_n(self, tok, keep_start, keep_stop):
+        """Per-read 'N'/'n' counts inside the final windows, read from
+        the host matrix (which carries any correction-stage edits, like
+        the scalar NContentFilter seeing the corrected read)."""
+        base = tok.keep_start
+        lo = (keep_start - base)[:, None]
+        hi = (keep_stop - base)[:, None]
+        idx = np.arange(tok.width, dtype=np.int32)[None, :]
+        in_win = (idx >= lo) & (idx < hi)
+        seqs = tok.seqs[: tok.batch]
         is_n = (seqs == ord("N")) | (seqs == ord("n"))
         return (is_n & in_win).sum(axis=1)
 
@@ -1506,12 +1521,18 @@ class _InsertPair:
         res2 = self._mate_res(lane2, arr[7:14], wl2)
 
         sel = self._select(counts, tok1, tok2, wl1, wl2)
-        m1, m2 = self._combine(sel, res1, res2, wl1, wl2)
-        for tok, lane, mate, ks, kp in (
-            (tok1, lane1, m1, ks1, kp1), (tok2, lane2, m2, ks2, kp2),
+        m1, m2, info = self._combine(sel, res1, res2, wl1, wl2)
+        len1_eff, len2_eff = wl1, wl2
+        corr1 = corr2 = None
+        if self.cutter.mismatch_action is not None:
+            len1_eff, len2_eff, corr1, corr2 = self._correct(
+                tok1, tok2, wl1, wl2, sel, info
+            )
+        for tok, lane, mate, ks, len_eff in (
+            (tok1, lane1, m1, ks1, len1_eff), (tok2, lane2, m2, ks2, len2_eff),
         ):
             tok.win_start = ks
-            tok.win_stop = kp
+            tok.win_stop = (ks + len_eff).astype(np.int32)
             tok.match_data = dict(
                 matched=mate["present"],
                 best_idx=np.where(mate["present"], 0, -1),
@@ -1522,8 +1543,12 @@ class _InsertPair:
                 errors=mate["errors"],
                 front=np.zeros(tok.batch, bool),
             )
-        kp1 = self._apply_mate(lane1, tok1, m1, ks1, kp1, wl1, 0)
-        kp2 = self._apply_mate(lane2, tok2, m2, ks2, kp2, wl2, 1)
+        kp1 = self._apply_mate(lane1, tok1, m1, ks1, kp1, len1_eff, 0)
+        kp2 = self._apply_mate(lane2, tok2, m2, ks2, kp2, len2_eff, 1)
+        if corr1 is not None:
+            tok1.alt = self._build_alt(corr1, ks1, kp1)
+        if corr2 is not None:
+            tok2.alt = self._build_alt(corr2, ks2, kp2)
         return ks1, kp1, m1["present"], ks2, kp2, m2["present"]
 
     @staticmethod
@@ -1589,6 +1614,10 @@ class _InsertPair:
             mm=np.zeros(batch, np.int64),
             alen1=np.zeros(batch, np.int64),
             alen2=np.zeros(batch, np.int64),
+            # selected-candidate geometry for overlap error correction
+            cost=np.zeros(batch, np.int64),
+            r1e=np.zeros(batch, np.int64),
+            r2e=np.zeros(batch, np.int64),
         )
         m = np.minimum(wl1, wl2).astype(np.int64)
         out["eligible"] = eligible = m >= self.cutter.min_insert_len
@@ -1626,8 +1655,9 @@ class _InsertPair:
         keep = prob <= aligner.insert_max_rmp
         if not keep.any():
             return out
-        s_all, b_all, rank_all, offset, ims, prob = (
-            a[keep] for a in (s_all, b_all, rank_all, offset, ims, prob)
+        s_all, b_all, rank_all, offset, ims, prob, qstop = (
+            a[keep]
+            for a in (s_all, b_all, rank_all, offset, ims, prob, qstop)
         )
 
         # _match evaluation per candidate (align/__init__.py:240-284)
@@ -1661,14 +1691,27 @@ class _InsertPair:
         out["mm"][has] = np.minimum(e1, e2)[rowsel]
         out["alen1"][has] = alen1[rowsel]
         out["alen2"][has] = alen2[rowsel]
+        # selected insert_match geometry for the correction stage:
+        # r1 overlap = [0, querystop), r2 overlap = [0, m - s); cost is
+        # the candidate's mismatch count over the truncated overlap
+        sel_s = s_all[rowsel]
+        sel_b = b_all[rowsel]
+        out["cost"][has] = ims[rowsel] - counts[sel_s, sel_b]
+        out["r1e"][has] = qstop[rowsel]
+        out["r2e"][has] = m_eff[sel_b] - sel_s
         return out
 
     def _combine(self, sel, res1, res2, wl1, wl2):
         """Selection + fallback + symmetric duplication -> per-mate match
-        field arrays (InsertAdapterCutter.__call__ flow)."""
+        field arrays plus correction-frame info
+        (InsertAdapterCutter.__call__ flow)."""
         batch = wl1.shape[0]
         has = sel["has"]
         ipass = has & ~sel["only"]
+        info = dict(
+            frame=np.zeros(batch, bool),
+            frame_rstart=np.zeros(batch, np.int64),
+        )
 
         def blank():
             zero = np.zeros(batch, np.int64)
@@ -1714,6 +1757,15 @@ class _InsertPair:
                 ("errors", "cost"),
             ):
                 mate[field] = np.where(fpres, res[src], mate[field])
+        if self.cutter.mismatch_action and res1 is not None and res2 is not None:
+            # both independent matches at the same read position imply an
+            # overlap frame for error correction (modifiers.py:266-273)
+            both = fallback & res1["found"] & res2["found"]
+            agree = both & (res1["start2"] == res2["start2"])
+            info["frame"] |= agree
+            info["frame_rstart"] = np.where(
+                agree, res1["start2"], info["frame_rstart"]
+            )
 
         # symmetric duplication (_mirror_match, modifiers.py:228-238)
         if self.cutter.symmetric:
@@ -1740,11 +1792,21 @@ class _InsertPair:
                     dst["astop"],
                 )
                 dst["errors"] = np.where(ok, src["errors"], dst["errors"])
-        return m1, m2
+                if self.cutter.mismatch_action:
+                    # mirror-created pairs gain the overlap frame too
+                    # (modifiers.py:280-282) when no insert frame exists
+                    frame_new = ok & ~has & ~info["frame"]
+                    info["frame"] |= frame_new
+                    info["frame_rstart"] = np.where(
+                        frame_new, m1["rstart"], info["frame_rstart"]
+                    )
+        return m1, m2, info
 
     def _apply_mate(self, lane, tok, mate, ks, kp, wl, mate_idx):
         """_trim_mate per mate: trim window + adapter statistics
-        (modifiers.py:292-314; Adapter._trimmed_back)."""
+        (modifiers.py:292-314; Adapter._trimmed_back). ``wl`` is the
+        mate's CURRENT length — possibly shortened by the correction
+        stage's read1 truncation quirk."""
         present = mate["present"]
         self.cutter.with_adapters[mate_idx] += int(present.sum())
         trim = present & (mate["rstart"] < wl)
@@ -1767,14 +1829,202 @@ class _InsertPair:
                 if base not in "ACGT":
                     base = ""
                 adapter.adjacent_bases[base] += int(cnt)
-        return np.where(trim, ks + mate["rstart"], kp).astype(np.int32)
+        return np.where(trim, ks + mate["rstart"], ks + wl).astype(np.int32)
+
+    # -- overlap error correction (--correct-mismatches) ----------------------
+
+    def _correct(self, tok1, tok2, wl1, wl2, sel, info):
+        """Vectorized ErrorCorrectorMixin.correct_errors over the batch
+        (truncate_seqs=True semantics; ref ``modifiers.py:201-357``,
+        scalar twin ``modifiers/paired.py:40-191``). Corrected bytes are
+        written back into the toks' host matrices (so neighbor stats and
+        N-content filtering see them); per-mate (quals, changed) come
+        back for alt-buffer output assembly. Returns
+        (len1_eff, len2_eff, corr1 | None, corr2 | None) — len1_eff
+        carries the reference's read1 tail-loss quirk."""
+        batch = tok1.batch
+        action = self.cutter.mismatch_action
+        len_eff = np.minimum(wl1, wl2)
+
+        # correction frames: selected insert match with mismatches, the
+        # equal-rstart fallback frame, or the symmetric-mirror frame
+        do = sel["has"] & (sel["cost"] > 0)
+        frame = info["frame"]
+        r1e = np.where(frame, info["frame_rstart"],
+                       np.where(do, sel["r1e"], 0))
+        r2s = np.where(frame, len_eff - wl2, 0)
+        r2e = np.where(frame, info["frame_rstart"] - (wl2 - len_eff),
+                       np.where(do, sel["r2e"], 0))
+        do = do | frame
+        span = np.where(do, np.minimum(r1e, r2e - r2s), 0)
+        span = np.maximum(span, 0)
+        cap = int(span.max()) if batch else 0
+        if cap == 0:
+            return wl1, wl2, None, None
+
+        seq1 = tok1.seqs[:batch]
+        seq2 = tok2.seqs[:batch]
+        lane1, lane2 = self.lane1, self.lane2
+        has_quals = bool(
+            tok1.chunk.qual_len[tok1.sub].size
+            and tok1.chunk.qual_len[tok1.sub].max(initial=0) > 0
+            and tok2.chunk.qual_len[tok2.sub].max(initial=0) > 0
+        )
+        q1 = q2 = None
+        if has_quals:
+            q1 = lane1._gather(
+                tok1.chunk, tok1.sub, tok1.chunk.qual_off,
+                tok1.keep_start, tok1.width,
+            )
+            q2 = lane2._gather(
+                tok2.chunk, tok2.sub, tok2.chunk.qual_off,
+                tok2.keep_start, tok2.width,
+            )
+        elif action in ("liberal", "conservative"):
+            raise ValueError(
+                "Cannot perform quality-based error correction on reads "
+                "lacking quality information"
+            )
+
+        k = np.arange(cap, dtype=np.int64)[None, :]
+        valid = k < span[:, None]
+        rows = np.arange(batch)[:, None]
+        pos1 = np.broadcast_to(k, (batch, cap))
+        pos2 = r2e[:, None] - 1 - k
+        # scalar negative-index wrap on the (possibly truncated) mate2
+        pos2 = np.where(pos2 < 0, pos2 + len_eff[:, None], pos2)
+        pos1c = np.clip(pos1, 0, tok1.width - 1)
+        pos2c = np.clip(pos2, 0, tok2.width - 1)
+        comp = _complement_lut()
+        b1 = seq1[rows, pos1c].copy()
+        b2raw = seq2[rows, pos2c].copy()
+        b2 = comp[b2raw]
+        mismatch = valid & (b1 != b2)
+        n_byte = np.uint8(ord("N"))
+
+        def scatter(matrix, pos, mask, values):
+            # masked flat scatter: rows beyond their span carry wrapped
+            # positions that DUPLICATE real ones — an unmasked fancy
+            # assignment would let those no-op writes land after (and
+            # clobber) genuine corrections
+            hit = np.nonzero(mask)
+            matrix[hit[0], pos[hit]] = values[hit]
+
+        if action == "N":
+            scatter(seq1, pos1c, mismatch, np.broadcast_to(n_byte, b1.shape))
+            scatter(seq2, pos2c, mismatch, np.broadcast_to(n_byte, b1.shape))
+            changed1 = mismatch.sum(axis=1)
+            changed2 = changed1.copy()
+        else:
+            q1v = q1[rows, pos1c].astype(np.int32)
+            q2v = q2[rows, pos2c].astype(np.int32)
+            fix1 = mismatch & (b1 == n_byte)
+            fix2 = mismatch & ~fix1 & (b2 == n_byte)
+            rest = mismatch & ~fix1 & ~fix2
+            qdiff = q1v - q2v
+            take1 = rest & (qdiff >= self.cutter.r1r2_min_qual_difference)
+            take2 = rest & (qdiff <= self.cutter.r2r1_min_qual_difference)
+            fix2 = fix2 | take1
+            fix1 = fix1 | take2
+            scatter(seq1, pos1c, fix1, b2)
+            scatter(seq2, pos2c, fix2, comp[b1])
+            scatter(q1, pos1c, fix1, q2v.astype(np.uint8))
+            scatter(q2, pos2c, fix2, q1v.astype(np.uint8))
+            changed1 = fix1.sum(axis=1)
+            changed2 = fix2.sum(axis=1)
+            if action == "liberal":
+                deferred = rest & ~take1 & ~take2
+                def_rows = deferred.any(axis=1)
+                if def_rows.any():
+                    # tie-break by mean overlap-window quality, computed
+                    # AFTER the per-base fixes (reference evaluation order)
+                    idx1w = np.arange(tok1.width, dtype=np.int64)[None, :]
+                    w1 = idx1w < r1e[:, None]
+                    sum1 = (q1[:batch].astype(np.int64) * w1).sum(axis=1)
+                    start2 = np.where(r2s < 0, len_eff + r2s, r2s)
+                    start2 = np.maximum(start2, 0)
+                    stop2 = np.clip(r2e, 0, len_eff)
+                    idx2w = np.arange(tok2.width, dtype=np.int64)[None, :]
+                    w2 = (idx2w >= start2[:, None]) & (idx2w < stop2[:, None])
+                    sum2 = (q2[:batch].astype(np.int64) * w2).sum(axis=1)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        mean1 = sum1 / np.maximum(r1e, 1)
+                        mean2 = sum2 / np.maximum(stop2 - start2, 1)
+                    gap = mean1 - mean2
+                    ovr2 = deferred & (gap > 1)[:, None]
+                    ovr1 = deferred & (gap < -1)[:, None]
+                    if ovr2.any():
+                        # the reference writes the ORIGINAL captured
+                        # bases, not the post-fix state (paired.py:150-153)
+                        scatter(seq2, pos2c, ovr2, comp[b1])
+                        scatter(q2, pos2c, ovr2, q1v.astype(np.uint8))
+                        changed2 = changed2 + ovr2.sum(axis=1)
+                    if ovr1.any():
+                        scatter(seq1, pos1c, ovr1, b2)
+                        scatter(q1, pos1c, ovr1, q2v.astype(np.uint8))
+                        changed1 = changed1 + ovr1.sum(axis=1)
+
+        r1_changed = changed1 > 0
+        r2_changed = changed2 > 0
+        any_changed = r1_changed | r2_changed
+        self.cutter.corrected_pairs += int(any_changed.sum())
+        self.cutter.corrected_bp[0] += int(changed1.sum())
+        self.cutter.corrected_bp[1] += int(changed2.sum())
+        # truncate_seqs quirk: a CHANGED read1 longer than read2 loses
+        # its tail (only the read2 truncation keeps it; paired.py:74-87)
+        len1_eff = np.where(r1_changed & (wl1 > wl2), wl2, wl1)
+        corr1 = (tok1, q1, r1_changed) if r1_changed.any() else None
+        corr2 = (tok2, q2, r2_changed) if r2_changed.any() else None
+        return len1_eff, wl2, corr1, corr2
+
+    @staticmethod
+    def _build_alt(corr, ks, kp):
+        """Patch-buffer output data for the corrected records: the final
+        (post-trim) seq/qual windows of every changed record, densely
+        packed ([seqs...][quals...]); -1 offsets mean 'unchanged, use the
+        chunk buffer'."""
+        tok, quals, changed = corr
+        if not changed.any():
+            return None
+        batch = tok.batch
+        final_len = (kp - ks).astype(np.int64)
+        seq_beg = np.full(batch, -1, np.int64)
+        seq_end = np.full(batch, -1, np.int64)
+        qual_beg = np.full(batch, -1, np.int64)
+        rows = np.nonzero(changed)[0]
+        lens = final_len[rows]
+        offs = np.cumsum(lens) - lens
+        total = int(lens.sum())
+        seq_beg[rows] = offs
+        seq_end[rows] = offs + lens
+        qual_beg[rows] = offs + total
+        buf = np.empty(2 * total, np.uint8)
+        # vectorized ranges-copy out of the row-major matrices
+        width = tok.width
+        flat_pos = (
+            np.repeat(rows * width, lens)
+            + (np.arange(total) - np.repeat(offs, lens))
+        )
+        buf[:total] = tok.seqs[:batch].reshape(-1)[flat_pos]
+        buf[total:] = (
+            quals[:batch].reshape(-1)[flat_pos]
+            if quals is not None
+            else 0
+        )
+        return buf, seq_beg, seq_end, qual_beg
 
 
-def _record_byte_lengths(chunk, sub, keep_start, keep_stop, keep, fmt):
+def _record_byte_lengths(chunk, sub, keep_start, keep_stop, keep, fmt,
+                         alt=None):
     """Per-record output byte length for the KEPT records, matching the
-    native formatters' layout exactly."""
+    native formatters' layout exactly (alt-patched records use the
+    patch-window lengths)."""
     name_len = chunk.name_len[sub][keep].astype(np.int64)
     klen = np.maximum(keep_stop - keep_start, 0)[keep].astype(np.int64)
+    if alt is not None:
+        _, alt_sb, alt_se, _ = alt
+        patched = alt_sb[keep] >= 0
+        klen = np.where(patched, (alt_se - alt_sb)[keep], klen)
     if fmt == "fasta":
         return 2 + name_len + klen + 1
     plus_len = chunk.plus_len[sub][keep].astype(np.int64)
@@ -1802,8 +2052,11 @@ def _interleave_records(parts1, parts2):
     return src[idx].tobytes()
 
 
-def _format_records(chunk, sub, keep_start, keep_stop, keep, fmt="fastq"):
-    """Native formatter: trimmed FASTQ/FASTA bytes for the kept records."""
+def _format_records(chunk, sub, keep_start, keep_stop, keep, fmt="fastq",
+                    alt=None):
+    """Native formatter: trimmed FASTQ/FASTA bytes for the kept records.
+    ``alt`` = (buf, seq_beg, seq_end, qual_beg) supplies corrected bytes
+    for records whose content changed (overlap error correction)."""
     from atropos_tpu.runtime import _i32, _i64, _lib, _u8
 
     name_off = np.ascontiguousarray(chunk.name_off[sub])
@@ -1813,6 +2066,9 @@ def _format_records(chunk, sub, keep_start, keep_stop, keep, fmt="fastq"):
     kp = np.ascontiguousarray(keep_stop, np.int32)
     kmask = np.ascontiguousarray(keep.astype(np.uint8))
     kept_bp = int(np.maximum(kp - ks, 0)[keep].sum())
+    if alt is not None:
+        alt_buf, alt_sb, alt_se, alt_qb = alt
+        kept_bp += int(np.maximum(alt_se - alt_sb, 0)[keep].sum())
     if fmt == "fasta":
         cap = int(name_len.sum()) + kept_bp + name_off.shape[0] * 4 + 16
         out = np.empty(cap, dtype=np.uint8)
@@ -1832,6 +2088,15 @@ def _format_records(chunk, sub, keep_start, keep_stop, keep, fmt="fastq"):
             + name_off.shape[0] * 8 + 16
         )
         out = np.empty(cap, dtype=np.uint8)
+        if alt is None:
+            alt_args = (None, None, None, None)
+        else:
+            alt_args = (
+                _u8(alt_buf),
+                _i64(np.ascontiguousarray(alt_sb, np.int64)),
+                _i64(np.ascontiguousarray(alt_se, np.int64)),
+                _i64(np.ascontiguousarray(alt_qb, np.int64)),
+            )
         written = _lib.fastq_format_trimmed(
             _u8(chunk.buf),
             _i64(name_off), _i32(name_len),
@@ -1841,6 +2106,7 @@ def _format_records(chunk, sub, keep_start, keep_stop, keep, fmt="fastq"):
             _i32(ks), _i32(kp), _u8(kmask),
             name_off.shape[0],
             _u8(out), cap,
+            *alt_args,
         )
     if written < 0:
         raise RuntimeError("format capacity exceeded")
@@ -2519,10 +2785,6 @@ class TurboPairedRunner(_TurboRunnerBase):
                 mods2.append(entry[1])
         insert_pair = None
         if insert_cutter is not None:
-            if insert_cutter.mismatch_action:
-                # --correct-mismatches mutates sequence bytes; the
-                # interval formatter cannot express that yet
-                return cls._decline("insert error correction")
             lane1 = _MateLane.from_modifier_list(
                 mods1, insert_adapter=insert_cutter.adapter1, insert_role=1
             )
@@ -2546,6 +2808,15 @@ class TurboPairedRunner(_TurboRunnerBase):
                 return cls._decline("quality stage without qualities")
             if stats is not None:
                 return cls._decline("--stats on quality-less input")
+        if insert_pair is not None and insert_cutter.mismatch_action:
+            # correction rewrites record bytes: paths that snapshot them
+            # from the chunk buffer cannot be served from intervals
+            if "fasta" in (in_fmt1, in_fmt2):
+                return cls._decline("insert correction without qualities")
+            if stats is not None:
+                return cls._decline("--stats with insert correction")
+            if record_handler.formatters.info_formatters:
+                return cls._decline("side files with insert correction")
         return cls(
             command_runner, record_handler, writers, lane1, lane2, stats,
             insert_pair, (in_fmt1, in_fmt2), out_fmts,
@@ -2871,7 +3142,7 @@ class TurboPairedRunner(_TurboRunnerBase):
                     self._open_output(path),
                     _format_records(
                         tok.chunk, tok.sub, ks, kp, mask,
-                        fmt=self._fmt_of(path),
+                        fmt=self._fmt_of(path), alt=tok.alt,
                     ),
                 )
         for path, mask in masks_il.items():
@@ -2881,18 +3152,22 @@ class TurboPairedRunner(_TurboRunnerBase):
                 _interleave_records(
                     (
                         _format_records(
-                            tok1.chunk, tok1.sub, ks1, kp1, mask, fmt
+                            tok1.chunk, tok1.sub, ks1, kp1, mask, fmt,
+                            alt=tok1.alt,
                         ),
                         _record_byte_lengths(
-                            tok1.chunk, tok1.sub, ks1, kp1, mask, fmt
+                            tok1.chunk, tok1.sub, ks1, kp1, mask, fmt,
+                            alt=tok1.alt,
                         ),
                     ),
                     (
                         _format_records(
-                            tok2.chunk, tok2.sub, ks2, kp2, mask, fmt
+                            tok2.chunk, tok2.sub, ks2, kp2, mask, fmt,
+                            alt=tok2.alt,
                         ),
                         _record_byte_lengths(
-                            tok2.chunk, tok2.sub, ks2, kp2, mask, fmt
+                            tok2.chunk, tok2.sub, ks2, kp2, mask, fmt,
+                            alt=tok2.alt,
                         ),
                     ),
                 ),

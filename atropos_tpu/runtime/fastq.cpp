@@ -274,7 +274,12 @@ void gather_packed(
 //
 // For each record i with keep[i] != 0, writes:
 //   '@' name '\n' seq[start:stop] '\n' '+' plus '\n' qual[start:stop] '\n'
-// into out (capacity out_cap). Returns bytes written, or -1 if out_cap is
+// into out (capacity out_cap). Records whose bytes were MODIFIED by the
+// pipeline (overlap error correction) supply alternative sequence/quality
+// bytes: when alt_seq_beg[i] >= 0, the sequence comes from
+// alt_buf[alt_seq_beg[i]:alt_seq_end[i]] and the qualities from
+// alt_buf[alt_qual_beg[i]:+same length] (alt pointers may be null when no
+// record uses them). Returns bytes written, or -1 if out_cap is
 // insufficient.
 int64_t fastq_format_trimmed(
     const uint8_t* buf,
@@ -285,27 +290,41 @@ int64_t fastq_format_trimmed(
     const int32_t* keep_start, const int32_t* keep_stop,
     const uint8_t* keep,
     int64_t n_records,
-    uint8_t* out, int64_t out_cap)
+    uint8_t* out, int64_t out_cap,
+    const uint8_t* alt_buf,
+    const int64_t* alt_seq_beg, const int64_t* alt_seq_end,
+    const int64_t* alt_qual_beg)
 {
     int64_t w = 0;
     for (int64_t i = 0; i < n_records; ++i) {
         if (!keep[i]) continue;
-        int64_t klen = keep_stop[i] - keep_start[i];
-        if (klen < 0) klen = 0;
+        const uint8_t* seq_src;
+        const uint8_t* qual_src;
+        int64_t klen;
+        if (alt_seq_beg && alt_seq_beg[i] >= 0) {
+            klen = alt_seq_end[i] - alt_seq_beg[i];
+            seq_src = alt_buf + alt_seq_beg[i];
+            qual_src = alt_buf + alt_qual_beg[i];
+        } else {
+            klen = keep_stop[i] - keep_start[i];
+            if (klen < 0) klen = 0;
+            seq_src = buf + seq_off[i] + keep_start[i];
+            qual_src = buf + qual_off[i] + keep_start[i];
+        }
         int64_t need = 1 + name_len[i] + 1 + klen + 2 + plus_len[i] + 1 + klen + 1;
         if (w + need > out_cap) return -1;
         out[w++] = '@';
         memcpy(out + w, buf + name_off[i], (size_t)name_len[i]);
         w += name_len[i];
         out[w++] = '\n';
-        memcpy(out + w, buf + seq_off[i] + keep_start[i], (size_t)klen);
+        memcpy(out + w, seq_src, (size_t)klen);
         w += klen;
         out[w++] = '\n';
         out[w++] = '+';
         memcpy(out + w, buf + plus_off[i], (size_t)plus_len[i]);
         w += plus_len[i];
         out[w++] = '\n';
-        memcpy(out + w, buf + qual_off[i] + keep_start[i], (size_t)klen);
+        memcpy(out + w, qual_src, (size_t)klen);
         w += klen;
         out[w++] = '\n';
     }

@@ -424,3 +424,85 @@ def test_turbo_paired_side_outputs(tmp_path):
         data_s = open(scalar_file).read() if os.path.exists(scalar_file) else None
         data_t = open(turbo_file).read() if os.path.exists(turbo_file) else None
         assert data_t == data_s, name
+
+
+_COMP_TABLE = str.maketrans("ACGTN", "TGCAN")
+
+
+def _write_insert_pairs(tmp_path, n=400, read_len=100, seed=23):
+    """Proper paired-end inserts: roughly half read through the insert
+    (adapters appear in both mates, full-length overlap) with sprinkled
+    base errors so overlap error correction actually fires; the rest are
+    long-insert pairs that exercise the fallback lanes."""
+    rng = random.Random(seed)
+    path1 = str(tmp_path / "ins.1.fastq")
+    path2 = str(tmp_path / "ins.2.fastq")
+
+    def mutate(seq):
+        chars = list(seq)
+        for _ in range(rng.randrange(0, 3)):
+            pos = rng.randrange(len(chars))
+            chars[pos] = rng.choice("ACGTN")
+        return "".join(chars)
+
+    with open(path1, "w") as out1, open(path2, "w") as out2:
+        for i in range(n):
+            if rng.random() < 0.5:
+                ilen = rng.randrange(30, read_len - 5)
+            else:
+                ilen = rng.randrange(read_len + 10, read_len * 2)
+            insert = "".join(rng.choice("ACGT") for _ in range(ilen))
+            read1 = mutate((insert + ADAPTER + "A" * read_len)[:read_len])
+            rc = insert.translate(_COMP_TABLE)[::-1]
+            read2 = mutate((rc + ADAPTER2 + "A" * read_len)[:read_len])
+            qual1 = "".join(chr(33 + rng.randint(2, 40)) for _ in read1)
+            qual2 = "".join(chr(33 + rng.randint(2, 40)) for _ in read2)
+            out1.write("@p{}/1 x\n{}\n+\n{}\n".format(i, read1, qual1))
+            out2.write("@p{}/2 x\n{}\n+\n{}\n".format(i, read2, qual2))
+    return path1, path2
+
+
+INSERT_CONFIGS = [
+    ["-a", AD, "-A", AD2, "--aligner", "insert"],
+    ["-a", AD, "-A", AD2, "--aligner", "insert", "-q", "20", "-m", "14"],
+    ["-a", AD, "-A", AD2, "--aligner", "insert",
+     "--correct-mismatches", "conservative"],
+    ["-a", AD, "-A", AD2, "--aligner", "insert",
+     "--correct-mismatches", "liberal"],
+    ["-a", AD, "-A", AD2, "--aligner", "insert",
+     "--correct-mismatches", "N"],
+    ["-a", AD, "-A", AD2, "--aligner", "insert",
+     "--correct-mismatches", "conservative", "-q", "20", "-m", "14",
+     "--trim-n"],
+    ["-a", AD, "-A", AD2, "--aligner", "insert",
+     "--correct-mismatches", "liberal", "--max-n", "0.2",
+     "--discard-untrimmed"],
+]
+
+
+@pytest.mark.parametrize("config", INSERT_CONFIGS, ids=lambda c: " ".join(c))
+def test_turbo_insert_correction_matches_scalar(tmp_path, config):
+    """Insert-aligner turbo (incl. overlap error correction) must be
+    byte-identical to the scalar pipeline, with identical modifier
+    summaries (corrected_pairs/corrected_bp counters included)."""
+    in1, in2 = _write_insert_pairs(tmp_path)
+    s1, s2, rep_s, _ = _run_paired(
+        tmp_path, config, in1, in2, "scalar", turbo=False
+    )
+    t1, t2, rep_t, sum_t = _run_paired(
+        tmp_path, config, in1, in2, "turbo", turbo=True
+    )
+    assert sum_t.get("mode") == "turbo", "insert turbo path not taken"
+    for scalar_file, turbo_file in ((s1, t1), (s2, t2)):
+        with open(scalar_file) as fh:
+            scalar_data = fh.read()
+        with open(turbo_file) as fh:
+            turbo_data = fh.read()
+        assert turbo_data == scalar_data
+    rep_scalar = json.load(open(rep_s))
+    rep_turbo = json.load(open(rep_t))
+    trim_s = rep_scalar.get("trim")
+    trim_t = rep_turbo.get("trim")
+    assert trim_t["modifiers"] == trim_s["modifiers"]
+    assert trim_t["filters"] == trim_s["filters"]
+    assert trim_t["formatters"] == trim_s["formatters"]
