@@ -1,35 +1,41 @@
 """Turbo trim path: zero-Python-object, latency-hiding streaming trim.
 
-For the common single-end AND paired-end adapter-align configurations
-(fixed cuts + quality/NextSeq trimming + 3'/5' adapter trimming +
-length/N filters, action=trim) the entire per-read pipeline is
-expressible as *interval arithmetic*: each stage only narrows a per-read
-keep-window [start, stop). The drivers stream the input file(s) in
-chunks through the native C parser (:mod:`atropos_tpu.runtime`), run the
-batched device kernels over padded matrices, resolve the final windows,
-and assemble output bytes with the native formatter — no per-read Python
-objects anywhere.
+For interval-expressible single-end AND paired-end configurations
+(fixed cuts + quality/NextSeq trimming + adapter trimming with either
+aligner + conditional cuts/N-trimming + length/N filters, action=trim)
+the entire per-read pipeline is *interval arithmetic*: each stage only
+narrows a per-read keep-window [start, stop). The drivers stream
+FASTQ/FASTA chunks through the native C parser
+(:mod:`atropos_tpu.runtime`), run the batched device kernels, resolve
+the final windows, and assemble output bytes with the native formatters
+(separate, demultiplexed via ``{name}``, or interleaved) — no per-read
+Python objects anywhere. Overlap error correction
+(``--correct-mismatches``) rewrites the few affected records through an
+alt-buffer path in the formatter; side files (info/rest/wildcard) emit
+from stashed match data.
 
 Layout:
 
 - :class:`_MateLane` — one mate's stage configuration and device work
-  (submit a batch, resolve its keep-windows + adapter statistics).
+  (prepare/submit a batch, resolve its keep-windows + statistics, apply
+  post-adapter stages).
+- :class:`_InsertPair` — the paired insert-align stage: one fused
+  device step for both mates (quality + fallback DP + the diagonal
+  insert matcher), vectorized candidate selection/overhang checks/
+  symmetric duplication/error correction on host.
 - :class:`TurboTrimRunner` — the single-end driver: one lane, filters,
-  one output stream.
+  per-destination routing.
 - :class:`TurboPairedRunner` — the paired-end driver: two lanes fed by
-  two synchronized chunk streams, vectorized pair filters
-  (``any``/``both`` semantics of the reference's PairedWrapper,
-  ``atropos/commands/trim/filters.py:66-90``), two output streams.
-  Covers the ``adapter`` aligner (independent per-mate matching);
-  insert-align runs through the batched engine instead.
+  two synchronized chunk streams (or one interleaved stream paired by
+  stride), vectorized pair filters (``any``/``both`` semantics of the
+  reference's PairedWrapper, ``atropos/commands/trim/filters.py:66-90``).
 
 The device interaction is fully pipelined (``DEPTH`` batches in flight):
 
-- **submit**: one uint8 upload per batch (sequences, plus qualities when
-  a quality stage is configured); the quality/NextSeq kernels, the
-  device-side uppercase + transpose, and every adapter's DP kernel are
-  dispatched asynchronously; their outputs are concatenated on device
-  into one int32 ``bundle`` [K, B].
+- **submit**: one bit-packed upload per batch (2-4 bits/base; raw
+  qualities only when a quality stage is configured); the quality/
+  NextSeq kernels, per-adapter view decoding and every DP kernel run in
+  ONE jitted step whose outputs concatenate into an int16 ``bundle``.
 - **resolve**: a single ``np.asarray(bundle)`` fetch per batch, then all
   interval resolution, validation, statistics (vectorized bincounts) and
   the native formatter run on host while later batches compute on device.
@@ -40,8 +46,9 @@ i+1..i+DEPTH. Only a 5'-quality cutoff forces a mid-batch synchronization
 (the adapter stage must re-gather at a data-dependent window start).
 
 Output is byte-identical to the scalar pipeline (asserted by the
-differential tests); all summary statistics (per-adapter histograms,
-trimmed-bp counters, filter counts) are accumulated into the same stat
+differential tests and 115/132 of the engine-forced upstream golden
+runs); all summary statistics (per-adapter histograms, trimmed-bp and
+correction counters, filter counts) are accumulated into the same stat
 objects the scalar pipeline uses, so reports are unchanged.
 """
 import collections
