@@ -889,3 +889,83 @@ class PallasAligner:
             matches=out[5, :batch],
             cost=out[6, :batch],
         )
+
+
+# ---------------------------------------------------------------------------
+# Pallas diagonal match-count kernel (insert matcher's device core)
+# ---------------------------------------------------------------------------
+
+
+def _diag_counts_kernel(refs_ref, queries_ref, len_ref, out_ref, *, W):
+    """counts[s, b] = sum_t<(len_b - s) [ref[s+t, b] == query[t, b]].
+
+    Whole-loop on-chip variant of ``batched._diagonal_match_counts``
+    (reference no-indel MultiAligner collapse, ``_align.pyx:548-787``):
+    the reference plane rotates one sublane per step (pltpu.roll) while
+    the query plane stays fixed, so every diagonal is one masked
+    vector-compare + sublane reduction.
+    """
+    queries = queries_ref[...]
+    lens = len_ref[0:1, :]
+    rows = lax.broadcasted_iota(jnp.int32, queries.shape, 0)
+
+    def step(s, ref_cur):
+        eq = (ref_cur == queries) & (rows < (lens - s))
+        out_ref[pl.ds(s, 1), :] = jnp.sum(
+            eq.astype(jnp.int32), axis=0, keepdims=True
+        )
+        # pltpu.roll wants a non-negative shift: W-1 forward == 1 backward
+        return pltpu.roll(ref_cur, W - 1, 0)
+
+    lax.fori_loop(0, W, step, refs_ref[...], unroll=1)
+
+
+class PallasInsertMatcher:
+    """Device dispatch for the insert diagonal counts: the Pallas kernel
+    on accelerator backends, the XLA scan (bit-identical) elsewhere.
+    Same contract as ``batched._diagonal_match_counts``."""
+
+    BLOCK = _env_int(
+        "ATROPOS_TPU_PALLAS_BLOCK", 256, lambda v: v > 0 and v % 128 == 0
+    )
+    INTERPRET = False
+
+    def __init__(self):
+        self._kernels = {}
+
+    def _get_kernel(self, W, B):
+        key = (W, B)
+        if key not in self._kernels:
+            grid = (B // self.BLOCK,)
+            blk = self.BLOCK
+            call = pl.pallas_call(
+                functools.partial(_diag_counts_kernel, W=W),
+                out_shape=jax.ShapeDtypeStruct((W, B), jnp.int32),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((W, blk), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((W, blk), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, blk), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((W, blk), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                interpret=self.INTERPRET,
+            )
+            self._kernels[key] = call
+        return self._kernels[key]
+
+    def counts(self, refs_T, queries_T, lengths_row):
+        """[W, B] match counts (device arrays in, device array out)."""
+        W, B = queries_T.shape
+        if B % self.BLOCK:
+            from atropos_tpu.align.batched import _diagonal_match_counts
+
+            return _diagonal_match_counts(refs_T, queries_T, lengths_row)
+        return self._get_kernel(W, B)(
+            refs_T.astype(jnp.int32),
+            queries_T.astype(jnp.int32),
+            lengths_row.astype(jnp.int32),
+        )

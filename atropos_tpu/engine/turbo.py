@@ -1413,6 +1413,19 @@ class _InsertPair:
         lane1, lane2 = self.lane1, self.lane2
         w_ins = min(w1, w2)
         min_insert = self.cutter.min_insert_len
+        # counts core: the Pallas whole-loop-on-chip kernel on
+        # accelerator backends, the XLA scan elsewhere (bit-identical)
+        use_pallas = os.environ.get("ATROPOS_TPU_PALLAS")
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        else:
+            use_pallas = use_pallas not in ("0", "false", "no")
+        if use_pallas:
+            from atropos_tpu.align.pallas_kernel import PallasInsertMatcher
+
+            counts_core = PallasInsertMatcher().counts
+        else:
+            counts_core = _diagonal_match_counts
 
         def step(*args):
             it = iter(args)
@@ -1430,7 +1443,7 @@ class _InsertPair:
             t = jnp.arange(w_ins, dtype=jnp.int32)[None, :]
             idx = jnp.clip(m_col[:, None] - 1 - t, 0, w2 - 1)
             ref_plane = jnp.take_along_axis(plane2, idx, axis=1)
-            counts = _diagonal_match_counts(
+            counts = counts_core(
                 ref_plane.T, plane1[:, :w_ins].T, m_col[None, :]
             )
             rows = rows1 + rows2

@@ -136,3 +136,38 @@ def test_pallas_literal_n():
         ["ACGTNNNNNNACGT", "NNNNNN", "ACGTACGT"],
         "pallas-literalN",
     )
+
+
+def test_pallas_insert_counts_match_xla():
+    """The Pallas diagonal match-count kernel (insert matcher core) must
+    equal the XLA scan exactly (interpret mode on CPU)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from atropos_tpu.align.batched import _diagonal_match_counts
+    from atropos_tpu.align.pallas_kernel import PallasInsertMatcher
+
+    rng = np.random.default_rng(5)
+    W, B = 64, 256
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    refs = bases[rng.integers(0, 4, size=(W, B))].astype(np.int32)
+    queries = bases[rng.integers(0, 4, size=(W, B))].astype(np.int32)
+    # make some diagonals real matches
+    queries[:, :64] = refs[:, :64]
+    lengths = rng.integers(0, W + 1, size=(1, B)).astype(np.int32)
+
+    matcher = PallasInsertMatcher()
+    matcher.INTERPRET = True
+    matcher.BLOCK = 128
+    got = np.asarray(
+        matcher.counts(
+            jnp.asarray(refs), jnp.asarray(queries), jnp.asarray(lengths)
+        )
+    )
+    want = np.asarray(
+        _diagonal_match_counts(
+            jnp.asarray(refs), jnp.asarray(queries), jnp.asarray(lengths)
+        )
+    )
+    assert np.array_equal(got, want)
