@@ -2252,15 +2252,31 @@ class _TurboRunnerBase:
     def _collect_output_formats(cls, formatters, allow_interleaved=False):
         """{path: format} for every destination formatter (main output
         plus untrimmed / too-short / too-long files), or a decline-reason
-        string. Also rejects one path serving different mate roles
-        (per-batch grouped writes could not reproduce the scalar byte
-        interleaving then). Interleaved formatters (both mates, one
-        file, record-alternating) are tracked by role 3."""
-        from atropos_tpu.io.seqio import InterleavedFormatter
+        string. The format comes from the formatter the builder already
+        constructed (so extension-less paths like /dev/null work exactly
+        like the scalar writers). Also rejects one path serving different
+        mate roles (per-batch grouped writes could not reproduce the
+        scalar byte interleaving then); interleaved formatters (both
+        mates, one file, record-alternating) are tracked by role 3."""
+        from atropos_tpu.io.seqio import (
+            FastaFormat,
+            FastqFormat,
+            InterleavedFormatter,
+        )
 
         fmts = {}
         role_of = {}
         for formatter in formatters.seq_formatters.values():
+            fmt_obj = formatter.seq_format
+            if type(fmt_obj) is FastqFormat:
+                fmt = "fastq"
+            elif (
+                type(fmt_obj) is FastaFormat
+                and fmt_obj.text_wrapper is None
+            ):
+                fmt = "fasta"
+            else:
+                return "unsupported output format"
             if isinstance(formatter, InterleavedFormatter):
                 if not allow_interleaved:
                     return "interleaved output"
@@ -2271,11 +2287,12 @@ class _TurboRunnerBase:
                 if file2 is not None:
                     roles.append((file2, 2))
             for path, role in roles:
-                fmt = cls._stream_format(path)
-                if fmt is None:
-                    return "unsupported output format"
+                if not path or not isinstance(path, str) or path == "-":
+                    return "stdout/non-path output"
                 fmts[path] = fmt
-                if role_of.setdefault(path, role) != role:
+                if path != os.devnull and (
+                    role_of.setdefault(path, role) != role
+                ):
                     return "one path used for both mates"
         return fmts
 
@@ -2563,8 +2580,6 @@ class TurboTrimRunner(_TurboRunnerBase):
             # stream path (routing happens per-adapter in the resolver)
             if cls._stream_format(output.replace("{name}", "x")) is None:
                 return cls._decline("unsupported demultiplex template")
-        elif cls._stream_format(output) is None:
-            return cls._decline("unsupported output format")
         out_fmts = cls._collect_output_formats(inner.formatters)
         if isinstance(out_fmts, str):
             return cls._decline(out_fmts)
@@ -2772,14 +2787,6 @@ class TurboPairedRunner(_TurboRunnerBase):
             in_fmt2 = cls._stream_format(input2, options.format)
             if in_fmt1 is None or in_fmt2 is None:
                 return cls._decline("unsupported paired input format")
-        if options.interleaved_output:
-            if cls._stream_format(options.interleaved_output) is None:
-                return cls._decline("unsupported interleaved output format")
-        elif (
-            cls._stream_format(options.output) is None
-            or cls._stream_format(options.paired_output) is None
-        ):
-            return cls._decline("unsupported output format")
         out_fmts = cls._collect_output_formats(
             record_handler.formatters, allow_interleaved=True
         )
