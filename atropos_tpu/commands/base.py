@@ -184,35 +184,32 @@ class BaseCommandRunner:
 
         self.init_summary()
 
-    @staticmethod
-    def _open_input(options):
+    #: reader-constructor arguments copied verbatim from the options
+    _READER_OPTIONS = ("quality_base", "colorspace", "input_read", "alphabet")
+
+    @classmethod
+    def _open_input(cls, options):
+        common = {
+            name: getattr(options, name) for name in cls._READER_OPTIONS
+        }
         if getattr(options, "sra_reader", None):
-            reader = sra_reader(
-                reader=options.sra_reader,
-                quality_base=options.quality_base,
-                colorspace=options.colorspace,
-                input_read=options.input_read,
-                alphabet=options.alphabet,
-            )
+            reader = sra_reader(reader=options.sra_reader, **common)
             options.sra_reader = None
             return reader
         interleaved = bool(options.interleaved_input)
-        input1 = options.interleaved_input if interleaved else options.input1
-        input2 = qualfile = None
-        if options.paired and not interleaved:
-            input2 = options.input2
+        if interleaved:
+            input1, input2, qualfile = options.interleaved_input, None, None
+        elif options.paired:
+            input1, input2, qualfile = options.input1, options.input2, None
         else:
-            qualfile = options.input2
+            input1, input2, qualfile = options.input1, None, options.input2
         return open_reader(
             file1=input1,
             file2=input2,
             file_format=options.format,
             qualfile=qualfile,
-            quality_base=options.quality_base,
-            colorspace=options.colorspace,
             interleaved=interleaved,
-            input_read=options.input_read,
-            alphabet=options.alphabet,
+            **common,
         )
 
     @staticmethod
