@@ -155,7 +155,7 @@ class _Inflight:
         "bundle", "chunk", "sub", "batch", "width", "pad_b",
         "keep_start", "keep_stop", "n", "seqs", "host_q",
         "match_data", "win_start", "win_stop", "cut_start", "cut_stop",
-        "alt", "qclip",
+        "alt", "qclip", "ow",
     )
 
     def __init__(self, **kw):
@@ -166,6 +166,7 @@ class _Inflight:
         self.cut_stop = None
         self.alt = None
         self.qclip = None
+        self.ow = None
         for key, val in kw.items():
             setattr(self, key, val)
 
@@ -703,11 +704,31 @@ class _MateLane:
             tables[view_idx, : symbols.size] = lut[symbols]
         return tables
 
-    def prepare(self, chunk, sub):
+    @staticmethod
+    def _patch_rows(mat, overrides, key, keep_start, width):
+        """Overwrite gathered matrix rows with replacement content (mate
+        overwrite): row ``rows[i]`` becomes ``overrides[key][i]`` shifted
+        to the row's gather origin ``keep_start[row]``."""
+        src = overrides[key]
+        new_n = overrides["n"]
+        for r_i, row in enumerate(overrides["rows"]):
+            ks = int(keep_start[row])
+            take = min(width, max(0, int(new_n[r_i]) - ks))
+            mat[row, :take] = src[r_i, ks : ks + take]
+            mat[row, take:] = 0
+        return mat
+
+    def prepare(self, chunk, sub, overrides=None):
         """Host-side batch prep: fixed cuts, host window gather, the
         synchronous 5'-quality path, pack decision, and device-arg
         upload. Returns (token, dev_args | None, mode) where dev_args
-        feed :meth:`_core` and mode = (bits, quals_in, n_translated)."""
+        feed :meth:`_core` and mode = (bits, quals_in, n_translated).
+
+        ``overrides`` (mate overwrite, ``-w``) replaces whole reads
+        before any stage sees them: dict(rows, n, seq, qual) with full
+        replacement content per affected row. Packing is disabled for
+        such batches (the replacement bytes are host-side, not in the
+        chunk buffer)."""
         import jax.numpy as jnp
 
         from atropos_tpu.align.batched import (
@@ -716,6 +737,8 @@ class _MateLane:
         )
 
         n = chunk.seq_len[sub].astype(np.int32)
+        if overrides is not None:
+            n[overrides["rows"]] = overrides["n"]
         batch = n.shape[0]
         keep_start = np.zeros(batch, np.int32)
         keep_stop = n.copy()
@@ -744,6 +767,8 @@ class _MateLane:
         # anchored matchers, adapter statistics and N-counting; never
         # uploaded when packing is active)
         seqs = self._gather(chunk, sub, chunk.seq_off, keep_start, width, pad_b)
+        if overrides is not None:
+            self._patch_rows(seqs, overrides, "seq", keep_start, width)
         win_len = keep_stop - keep_start
         host_q = {}
         sync_qclip = None
@@ -756,6 +781,8 @@ class _MateLane:
             quals = self._gather(
                 chunk, sub, chunk.qual_off, keep_start, width, pad_b
             )
+            if overrides is not None:
+                self._patch_rows(quals, overrides, "qual", keep_start, width)
             win_dev = jnp.asarray(np.pad(win_len, (0, pad_b - batch)))
             d_quals = jnp.asarray(quals)
             extras = []
@@ -794,11 +821,13 @@ class _MateLane:
             seqs = self._gather(
                 chunk, sub, chunk.seq_off, keep_start, width, pad_b
             )
+            if overrides is not None:
+                self._patch_rows(seqs, overrides, "seq", keep_start, width)
             host_q = {"applied": True}
             sync_qclip = (keep_start - cut_start, cut_stop - keep_stop)
             quals_in = False
 
-        pack = _pack_info(chunk)
+        pack = _pack_info(chunk) if overrides is None else None
         args = None
         mode = None
         if self._aligners or quals_in or self._mesh_is_sharded():
@@ -827,6 +856,10 @@ class _MateLane:
                     quals = self._gather(
                         chunk, sub, chunk.qual_off, keep_start, width, pad_b
                     )
+                    if overrides is not None:
+                        self._patch_rows(
+                            quals, overrides, "qual", keep_start, width
+                        )
                     args.append(jnp.asarray(quals))
                 n_tr = 0
                 for lut in self._luts:
@@ -852,11 +885,11 @@ class _MateLane:
         )
         return tok, args, mode
 
-    def submit(self, chunk, sub):
+    def submit(self, chunk, sub, overrides=None):
         """One-lane dispatch: prepare the batch and run this mate's
         jitted step (the paired insert driver instead composes two
         prepared mates into one fused step)."""
-        tok, args, mode = self.prepare(chunk, sub)
+        tok, args, mode = self.prepare(chunk, sub, overrides=overrides)
         if args is not None:
             step = self._get_step(tok.width, tok.pad_b, mode)
             tok.bundle = step(*args)
@@ -2041,13 +2074,18 @@ def _record_byte_lengths(chunk, sub, keep_start, keep_stop, keep, fmt,
     patch-window lengths)."""
     name_len = chunk.name_len[sub][keep].astype(np.int64)
     klen = np.maximum(keep_stop - keep_start, 0)[keep].astype(np.int64)
+    plus_len = chunk.plus_len[sub][keep].astype(np.int64)
     if alt is not None:
-        _, alt_sb, alt_se, _ = alt
+        alt_sb, alt_se = alt[1], alt[2]
         patched = alt_sb[keep] >= 0
         klen = np.where(patched, (alt_se - alt_sb)[keep], klen)
+        if len(alt) > 4:
+            _, _, _, _, alt_nb, alt_nl, _, alt_pl = alt
+            renamed = alt_nb[keep] >= 0
+            name_len = np.where(renamed, alt_nl[keep], name_len)
+            plus_len = np.where(renamed, alt_pl[keep], plus_len)
     if fmt == "fasta":
         return 2 + name_len + klen + 1
-    plus_len = chunk.plus_len[sub][keep].astype(np.int64)
     return 4 + name_len + 2 * klen + plus_len + 2
 
 
@@ -2075,8 +2113,10 @@ def _interleave_records(parts1, parts2):
 def _format_records(chunk, sub, keep_start, keep_stop, keep, fmt="fastq",
                     alt=None):
     """Native formatter: trimmed FASTQ/FASTA bytes for the kept records.
-    ``alt`` = (buf, seq_beg, seq_end, qual_beg) supplies corrected bytes
-    for records whose content changed (overlap error correction)."""
+    ``alt`` = (buf, seq_beg, seq_end, qual_beg[, name_beg, name_len,
+    plus_beg, plus_len]) supplies replacement bytes for records whose
+    content changed (overlap error correction; the name/plus lanes for
+    mate overwrite, which swaps in the partner's whole record)."""
     from atropos_tpu.runtime import _i32, _i64, _lib, _u8
 
     name_off = np.ascontiguousarray(chunk.name_off[sub])
@@ -2087,7 +2127,7 @@ def _format_records(chunk, sub, keep_start, keep_stop, keep, fmt="fastq",
     kmask = np.ascontiguousarray(keep.astype(np.uint8))
     kept_bp = int(np.maximum(kp - ks, 0)[keep].sum())
     if alt is not None:
-        alt_buf, alt_sb, alt_se, alt_qb = alt
+        alt_buf, alt_sb, alt_se, alt_qb = alt[:4]
         kept_bp += int(np.maximum(alt_se - alt_sb, 0)[keep].sum())
     if fmt == "fasta":
         cap = int(name_len.sum()) + kept_bp + name_off.shape[0] * 4 + 16
@@ -2107,9 +2147,11 @@ def _format_records(chunk, sub, keep_start, keep_stop, keep, fmt="fastq",
             name_len.sum() + plus_len.sum() + 2 * kept_bp
             + name_off.shape[0] * 8 + 16
         )
+        if alt is not None and len(alt) > 4:
+            cap += int(alt[5][keep].sum() + alt[7][keep].sum())
         out = np.empty(cap, dtype=np.uint8)
         if alt is None:
-            alt_args = (None, None, None, None)
+            alt_args = (None, None, None, None, None, None, None, None)
         else:
             alt_args = (
                 _u8(alt_buf),
@@ -2117,6 +2159,15 @@ def _format_records(chunk, sub, keep_start, keep_stop, keep, fmt="fastq",
                 _i64(np.ascontiguousarray(alt_se, np.int64)),
                 _i64(np.ascontiguousarray(alt_qb, np.int64)),
             )
+            if len(alt) > 4:
+                alt_args += (
+                    _i64(np.ascontiguousarray(alt[4], np.int64)),
+                    _i32(np.ascontiguousarray(alt[5], np.int32)),
+                    _i64(np.ascontiguousarray(alt[6], np.int64)),
+                    _i32(np.ascontiguousarray(alt[7], np.int32)),
+                )
+            else:
+                alt_args += (None, None, None, None)
         written = _lib.fastq_format_trimmed(
             _u8(chunk.buf),
             _i64(name_off), _i32(name_len),
@@ -2793,16 +2844,32 @@ class TurboPairedRunner(_TurboRunnerBase):
         if isinstance(out_fmts, str):
             return cls._decline(out_fmts)
 
+        from atropos_tpu.commands.trim.modifiers import OverwriteRead
+
         mods1, mods2 = [], []
         insert_cutter = None
-        for entry in record_handler.modifiers.modifiers:
+        overwrite = None
+        for pos, entry in enumerate(record_handler.modifiers.modifiers):
             if isinstance(entry, InsertAdapterCutter):
                 if insert_cutter is not None:
                     return cls._decline("multiple insert cutters")
                 insert_cutter = entry
                 continue
+            if isinstance(entry, OverwriteRead):
+                # -w: whole-read replacement by the partner's reverse
+                # complement. Two supported chain positions: FIRST
+                # (cutadapt-compat op-order 'WCGQA' — a vectorized
+                # pre-pass patches the lanes' inputs) and LAST (the
+                # default 'CGQAW' — a resolve-time swap on the trimmed
+                # windows). Mid-chain W would interleave with per-mate
+                # stages on both sides; no conformance surface needs it.
+                if overwrite is not None:
+                    return cls._decline("multiple overwrite stages")
+                overwrite = entry
+                overwrite_pos = pos
+                continue
             if isinstance(entry, ReadPairModifier):
-                # merge / overwrite: engine or scalar path
+                # merge: engine or scalar path
                 return cls._decline(
                     "pair modifier %s" % type(entry).__name__
                 )
@@ -2810,6 +2877,23 @@ class TurboPairedRunner(_TurboRunnerBase):
                 mods1.append(entry[0])
             if entry[1] is not None:
                 mods2.append(entry[1])
+        overwrite_mode = None
+        if overwrite is not None:
+            n_entries = len(record_handler.modifiers.modifiers)
+            if overwrite_pos == 0:
+                overwrite_mode = "pre"
+            elif overwrite_pos == n_entries - 1:
+                overwrite_mode = "post"
+            else:
+                return cls._decline("overwrite mid-chain")
+            if insert_cutter is not None:
+                return cls._decline("overwrite with insert aligner")
+            if stats is not None:
+                return cls._decline("--stats with overwrite")
+            if record_handler.formatters.info_formatters:
+                return cls._decline("side files with overwrite")
+            if "fasta" in (in_fmt1, in_fmt2):
+                return cls._decline("overwrite without qualities")
         insert_pair = None
         if insert_cutter is not None:
             lane1 = _MateLane.from_modifier_list(
@@ -2846,12 +2930,13 @@ class TurboPairedRunner(_TurboRunnerBase):
                 return cls._decline("side files with insert correction")
         return cls(
             command_runner, record_handler, writers, lane1, lane2, stats,
-            insert_pair, (in_fmt1, in_fmt2), out_fmts,
+            insert_pair, (in_fmt1, in_fmt2), out_fmts, overwrite,
+            overwrite_mode,
         )
 
     def __init__(self, command_runner, record_handler, writers, lane1, lane2,
                  stats=None, insert_pair=None, in_fmts=("fastq", "fastq"),
-                 out_fmts=None):
+                 out_fmts=None, overwrite=None, overwrite_mode=None):
         self.command_runner = command_runner
         self.options = command_runner.options
         self.record_handler = record_handler
@@ -2860,6 +2945,8 @@ class TurboPairedRunner(_TurboRunnerBase):
         self.lane2 = lane2
         self.stats = stats
         self.insert_pair = insert_pair
+        self.overwrite = overwrite
+        self._ow_mode = overwrite_mode
         self._in_fmts = in_fmts
         self._out_fmts = dict(out_fmts or {})
 
@@ -2914,10 +3001,16 @@ class TurboPairedRunner(_TurboRunnerBase):
                 self.insert_pair.submit(chunk1, sub1, chunk2, sub2)
             )
         else:
-            self._inflight.append(
-                (self.lane1.submit(chunk1, sub1),
-                 self.lane2.submit(chunk2, sub2))
-            )
+            ov1 = ov2 = None
+            if self.overwrite is not None and self._ow_mode == "pre":
+                ov1, ov2 = self._compute_overwrite(
+                    chunk1, sub1, chunk2, sub2
+                )
+            tok1 = self.lane1.submit(chunk1, sub1, overrides=ov1)
+            tok2 = self.lane2.submit(chunk2, sub2, overrides=ov2)
+            tok1.ow = ov1
+            tok2.ow = ov2
+            self._inflight.append((tok1, tok2))
         while len(self._inflight) >= self.DEPTH:
             self._resolve_item(self._inflight.popleft())
 
@@ -3077,6 +3170,215 @@ class TurboPairedRunner(_TurboRunnerBase):
                 "does not match '{1}' in file 2.".format(name1, name2)
             )
 
+    def _compute_overwrite(self, chunk1, sub1, chunk2, sub2):
+        """Vectorized OverwriteRead (``-w``) pre-pass (reference
+        ``modifiers.py:511-563``): per pair, the mean quality of the
+        first W bases decides whether one mate is replaced by the
+        reverse complement of the other. Returns per-mate lane overrides
+        (None = no replacements on that side)."""
+        from atropos_tpu.runtime import _i32, _i64, _lib, _u8
+
+        ow = self.overwrite
+        win = ow.window_size
+        len1 = chunk1.seq_len[sub1].astype(np.int64)
+        len2 = chunk2.seq_len[sub2].astype(np.int64)
+        eligible = (len1 >= win) & (len2 >= win)
+        if not eligible.any():
+            return None, None
+
+        def window_mean(chunk, sub):
+            offs = np.ascontiguousarray(chunk.qual_off[sub], np.int64)
+            lens = np.ascontiguousarray(chunk.qual_len[sub], np.int32)
+            out = np.zeros((offs.shape[0], win), np.uint8)
+            _lib.gather_padded(
+                _u8(chunk.buf), _i64(offs), _i32(lens),
+                offs.shape[0], win, _u8(out),
+            )
+            return (out.astype(np.int64).sum(axis=1) - win * ow.base) / win
+
+        score1 = window_mean(chunk1, sub1)
+        score2 = window_mean(chunk2, sub2)
+        worse, better = ow.worse_read_min_quality, ow.better_read_min_quality
+        ow1 = eligible & (score1 < worse) & (score2 >= better)
+        ow2 = eligible & ~ow1 & (score2 < worse) & (score1 >= better)
+
+        def overrides(mask, src_chunk, src_sub, src_len):
+            rows = np.nonzero(mask)[0]
+            if rows.size == 0:
+                return None
+            abs_idx = np.arange(src_chunk.n)[src_sub][rows]
+            lens = src_len[rows].astype(np.int32)
+            wmax = max(1, int(lens.max()))
+            offs_s = np.ascontiguousarray(src_chunk.seq_off[abs_idx], np.int64)
+            offs_q = np.ascontiguousarray(src_chunk.qual_off[abs_idx], np.int64)
+            lens_c = np.ascontiguousarray(lens, np.int32)
+            seq = np.zeros((rows.size, wmax), np.uint8)
+            qual = np.zeros((rows.size, wmax), np.uint8)
+            _lib.gather_padded(
+                _u8(src_chunk.buf), _i64(offs_s), _i32(lens_c),
+                rows.size, wmax, _u8(seq),
+            )
+            _lib.gather_padded(
+                _u8(src_chunk.buf), _i64(offs_q), _i32(lens_c),
+                rows.size, wmax, _u8(qual),
+            )
+            comp = _complement_lut()[seq]
+            for i in range(rows.size):
+                length = int(lens[i])
+                seq[i, :length] = comp[i, :length][::-1]
+                qual[i, :length] = qual[i, :length][::-1].copy()
+            return dict(
+                rows=rows, n=lens, seq=seq, qual=qual,
+                src_chunk=src_chunk, abs_idx=abs_idx,
+            )
+
+        return (
+            overrides(ow1, chunk2, sub2, len2),
+            overrides(ow2, chunk1, sub1, len1),
+        )
+
+    @staticmethod
+    def _build_overwrite_alt(tok, keep_start, keep_stop):
+        """Output patch data for overwritten records: the final
+        (post-trim) replacement seq/qual windows plus the partner's
+        name/plus header bytes — the correction alt layout extended with
+        the name lanes."""
+        ov = tok.ow
+        if ov is None:
+            return
+        batch = tok.batch
+        rows = ov["rows"]
+        src_chunk = ov["src_chunk"]
+        abs_idx = ov["abs_idx"]
+        seg = np.maximum((keep_stop - keep_start)[rows], 0).astype(np.int64)
+        nlens = src_chunk.name_len[abs_idx].astype(np.int64)
+        plens = src_chunk.plus_len[abs_idx].astype(np.int64)
+        total = int(2 * seg.sum() + nlens.sum() + plens.sum())
+        buf = np.empty(total, np.uint8)
+        sb = np.full(batch, -1, np.int64)
+        se = np.full(batch, -1, np.int64)
+        qb = np.full(batch, -1, np.int64)
+        nb = np.full(batch, -1, np.int64)
+        nl = np.zeros(batch, np.int32)
+        pb = np.full(batch, -1, np.int64)
+        pl = np.zeros(batch, np.int32)
+        w = 0
+        for i, row in enumerate(rows):
+            a, b = int(keep_start[row]), int(keep_stop[row])
+            length = max(0, b - a)
+            sb[row] = w
+            se[row] = w + length
+            buf[w : w + length] = ov["seq"][i, a : a + length]
+            w += length
+            qb[row] = w
+            buf[w : w + length] = ov["qual"][i, a : a + length]
+            w += length
+            n_len = int(nlens[i])
+            n_off = int(src_chunk.name_off[abs_idx[i]])
+            nb[row] = w
+            nl[row] = n_len
+            buf[w : w + n_len] = src_chunk.buf[n_off : n_off + n_len]
+            w += n_len
+            p_len = int(plens[i])
+            p_off = int(src_chunk.plus_off[abs_idx[i]])
+            pb[row] = w
+            pl[row] = p_len
+            buf[w : w + p_len] = src_chunk.buf[p_off : p_off + p_len]
+            w += p_len
+        tok.alt = (buf, sb, se, qb, nb, nl, pb, pl)
+
+    def _overwrite_post(self, tok1, tok2, ks1, kp1, ks2, kp2):
+        """W-last OverwriteRead (default 'CGQAW' op order): the quality
+        window is measured on the TRIMMED reads, and the replacement is
+        the reverse complement of the partner's trimmed window. Sets the
+        affected rows' alt output data on each token and returns the
+        (ow1, ow2) replacement masks, or None when no pair triggers."""
+        ow = self.overwrite
+        win = ow.window_size
+        len1 = kp1 - ks1
+        len2 = kp2 - ks2
+        eligible = (len1 >= win) & (len2 >= win)
+        if not eligible.any():
+            return None
+
+        from atropos_tpu.runtime import _i32, _i64, _lib, _u8
+
+        def window_mean(tok, keep_start):
+            chunk, sub = tok.chunk, tok.sub
+            offs = np.ascontiguousarray(
+                chunk.qual_off[sub] + keep_start.astype(np.int64), np.int64
+            )
+            lens = np.ascontiguousarray(
+                (chunk.qual_len[sub] - keep_start).astype(np.int32)
+            )
+            out = np.zeros((offs.shape[0], win), np.uint8)
+            _lib.gather_padded(
+                _u8(chunk.buf), _i64(offs), _i32(lens),
+                offs.shape[0], win, _u8(out),
+            )
+            return (out.astype(np.int64).sum(axis=1) - win * ow.base) / win
+
+        score1 = window_mean(tok1, ks1)
+        score2 = window_mean(tok2, ks2)
+        worse, better = ow.worse_read_min_quality, ow.better_read_min_quality
+        ow1 = eligible & (score1 < worse) & (score2 >= better)
+        ow2 = eligible & ~ow1 & (score2 < worse) & (score1 >= better)
+        if not (ow1.any() or ow2.any()):
+            return None
+
+        comp = _complement_lut()
+
+        def build_alt(tok_dst, mask, tok_src, ks_src, kp_src):
+            rows = np.nonzero(mask)[0]
+            if rows.size == 0:
+                return
+            chunk, sub = tok_src.chunk, tok_src.sub
+            abs_idx = np.arange(chunk.n)[sub][rows]
+            batch = tok_dst.batch
+            seg = np.maximum((kp_src - ks_src)[rows], 0).astype(np.int64)
+            nlens = chunk.name_len[abs_idx].astype(np.int64)
+            plens = chunk.plus_len[abs_idx].astype(np.int64)
+            buf = np.empty(
+                int(2 * seg.sum() + nlens.sum() + plens.sum()), np.uint8
+            )
+            sb = np.full(batch, -1, np.int64)
+            se = np.full(batch, -1, np.int64)
+            qb = np.full(batch, -1, np.int64)
+            nb = np.full(batch, -1, np.int64)
+            nl = np.zeros(batch, np.int32)
+            pb = np.full(batch, -1, np.int64)
+            pl = np.zeros(batch, np.int32)
+            w = 0
+            for i, row in enumerate(rows):
+                a, b = int(ks_src[row]), int(kp_src[row])
+                length = max(0, b - a)
+                s_off = int(chunk.seq_off[abs_idx[i]])
+                q_off = int(chunk.qual_off[abs_idx[i]])
+                sb[row] = w
+                se[row] = w + length
+                buf[w : w + length] = comp[
+                    chunk.buf[s_off + a : s_off + b][::-1]
+                ]
+                w += length
+                qb[row] = w
+                buf[w : w + length] = chunk.buf[q_off + a : q_off + b][::-1]
+                w += length
+                n_len, n_off = int(nlens[i]), int(chunk.name_off[abs_idx[i]])
+                nb[row] = w
+                nl[row] = n_len
+                buf[w : w + n_len] = chunk.buf[n_off : n_off + n_len]
+                w += n_len
+                p_len, p_off = int(plens[i]), int(chunk.plus_off[abs_idx[i]])
+                pb[row] = w
+                pl[row] = p_len
+                buf[w : w + p_len] = chunk.buf[p_off : p_off + p_len]
+                w += p_len
+            tok_dst.alt = (buf, sb, se, qb, nb, nl, pb, pl)
+
+        build_alt(tok1, ow1, tok2, ks2, kp2)
+        build_alt(tok2, ow2, tok1, ks1, kp1)
+        return ow1, ow2
+
     def _resolve_item(self, item):
         """Resolve one in-flight batch: either an insert-pair token or a
         (tok1, tok2) per-mate pair."""
@@ -3093,12 +3395,39 @@ class TurboPairedRunner(_TurboRunnerBase):
             ks2, kp2, matched2 = self.lane2.resolve_windows(tok2)
         ks1, kp1 = self.lane1.apply_post(tok1, ks1, kp1, matched1)
         ks2, kp2 = self.lane2.apply_post(tok2, ks2, kp2, matched2)
-        self._finish_pair(tok1, tok2, ks1, kp1, matched1, ks2, kp2, matched2)
+        ow_masks = None
+        if self.overwrite is not None:
+            if self._ow_mode == "pre":
+                self._build_overwrite_alt(tok1, ks1, kp1)
+                self._build_overwrite_alt(tok2, ks2, kp2)
+            else:
+                ow_masks = self._overwrite_post(
+                    tok1, tok2, ks1, kp1, ks2, kp2
+                )
+                if ow_masks is not None:
+                    ow1, ow2 = ow_masks
+                    # the replaced read carries a COPY of its partner's
+                    # match (Sequence.reverse_complement provenance)
+                    m1, m2 = matched1, matched2
+                    matched1 = np.where(ow1, m2, m1)
+                    matched2 = np.where(ow2, m1, m2)
+        self._finish_pair(
+            tok1, tok2, ks1, kp1, matched1, ks2, kp2, matched2,
+            ow=ow_masks,
+        )
 
     def _finish_pair(self, tok1, tok2, ks1, kp1, matched1, ks2, kp2,
-                     matched2):
+                     matched2, ow=None):
         len1 = kp1 - ks1
         len2 = kp2 - ks2
+        if ow is not None:
+            # W-last overwrite: a replaced mate's filter-visible state
+            # (length, N content) is its partner's trimmed window — the
+            # reverse complement preserves both
+            ow1, ow2 = ow
+            raw1, raw2 = len1, len2
+            len1 = np.where(ow1, raw2, raw1)
+            len2 = np.where(ow2, raw1, raw2)
 
         # pair filters in registration order (first match wins). The
         # PairedWrapper combines per-mate criteria with min_affected
@@ -3110,10 +3439,26 @@ class TurboPairedRunner(_TurboRunnerBase):
             c1 = self.lane1.criterion_hits(
                 ftype, wrapper, tok1, ks1, kp1, matched1
             )
+            if ow is not None and ow1.any():
+                c1 = np.where(
+                    ow1,
+                    self.lane2.criterion_hits(
+                        ftype, wrapper, tok2, ks2, kp2, matched1
+                    ),
+                    c1,
+                )
             if isinstance(wrapper, PairedWrapper):
                 c2 = self.lane2.criterion_hits(
                     ftype, wrapper, tok2, ks2, kp2, matched2
                 )
+                if ow is not None and ow2.any():
+                    c2 = np.where(
+                        ow2,
+                        self.lane1.criterion_hits(
+                            ftype, wrapper, tok1, ks1, kp1, matched2
+                        ),
+                        c2,
+                    )
                 hit = (c1 | c2) if wrapper.min_affected == 1 else (c1 & c2)
             else:
                 hit = c1

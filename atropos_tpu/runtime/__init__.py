@@ -74,6 +74,7 @@ def _load():
         i32p, i32p, u8p, ctypes.c_int64,
         u8p, ctypes.c_int64,
         u8p, i64p, i64p, i64p,
+        i64p, i32p, i64p, i32p,
     ]
     return lib
 
@@ -178,7 +179,7 @@ class FastqChunk:
             _i32(keep_start), _i32(keep_stop), _u8(keep),
             self.n,
             _u8(out), cap,
-            None, None, None, None,
+            None, None, None, None, None, None, None, None,
         )
         if written < 0:
             raise RuntimeError("fastq_format_trimmed: output capacity exceeded")

@@ -275,11 +275,14 @@ void gather_packed(
 // For each record i with keep[i] != 0, writes:
 //   '@' name '\n' seq[start:stop] '\n' '+' plus '\n' qual[start:stop] '\n'
 // into out (capacity out_cap). Records whose bytes were MODIFIED by the
-// pipeline (overlap error correction) supply alternative sequence/quality
-// bytes: when alt_seq_beg[i] >= 0, the sequence comes from
-// alt_buf[alt_seq_beg[i]:alt_seq_end[i]] and the qualities from
-// alt_buf[alt_qual_beg[i]:+same length] (alt pointers may be null when no
-// record uses them). Returns bytes written, or -1 if out_cap is
+// pipeline (overlap error correction, mate overwrite) supply alternative
+// sequence/quality bytes: when alt_seq_beg[i] >= 0, the sequence comes
+// from alt_buf[alt_seq_beg[i]:alt_seq_end[i]] and the qualities from
+// alt_buf[alt_qual_beg[i]:+same length]. Records whose HEADER changed
+// (mate overwrite replaces the whole record with its partner's reverse
+// complement) additionally supply alt_name_beg/alt_name_len and
+// alt_plus_beg/alt_plus_len into alt_buf (alt pointers may be null when
+// no record uses them). Returns bytes written, or -1 if out_cap is
 // insufficient.
 int64_t fastq_format_trimmed(
     const uint8_t* buf,
@@ -293,7 +296,9 @@ int64_t fastq_format_trimmed(
     uint8_t* out, int64_t out_cap,
     const uint8_t* alt_buf,
     const int64_t* alt_seq_beg, const int64_t* alt_seq_end,
-    const int64_t* alt_qual_beg)
+    const int64_t* alt_qual_beg,
+    const int64_t* alt_name_beg, const int32_t* alt_name_len,
+    const int64_t* alt_plus_beg, const int32_t* alt_plus_len)
 {
     int64_t w = 0;
     for (int64_t i = 0; i < n_records; ++i) {
@@ -311,18 +316,28 @@ int64_t fastq_format_trimmed(
             seq_src = buf + seq_off[i] + keep_start[i];
             qual_src = buf + qual_off[i] + keep_start[i];
         }
-        int64_t need = 1 + name_len[i] + 1 + klen + 2 + plus_len[i] + 1 + klen + 1;
+        const uint8_t* name_src = buf + name_off[i];
+        int64_t nlen = name_len[i];
+        const uint8_t* plus_src = buf + plus_off[i];
+        int64_t plen = plus_len[i];
+        if (alt_name_beg && alt_name_beg[i] >= 0) {
+            name_src = alt_buf + alt_name_beg[i];
+            nlen = alt_name_len[i];
+            plus_src = alt_buf + alt_plus_beg[i];
+            plen = alt_plus_len[i];
+        }
+        int64_t need = 1 + nlen + 1 + klen + 2 + plen + 1 + klen + 1;
         if (w + need > out_cap) return -1;
         out[w++] = '@';
-        memcpy(out + w, buf + name_off[i], (size_t)name_len[i]);
-        w += name_len[i];
+        memcpy(out + w, name_src, (size_t)nlen);
+        w += nlen;
         out[w++] = '\n';
         memcpy(out + w, seq_src, (size_t)klen);
         w += klen;
         out[w++] = '\n';
         out[w++] = '+';
-        memcpy(out + w, buf + plus_off[i], (size_t)plus_len[i]);
-        w += plus_len[i];
+        memcpy(out + w, plus_src, (size_t)plen);
+        w += plen;
         out[w++] = '\n';
         memcpy(out + w, qual_src, (size_t)klen);
         w += klen;

@@ -13,10 +13,11 @@ CONFORMANCE_DIR = os.path.join(os.path.dirname(__file__), "conformance")
 
 #: fallback reasons that are legitimately scalar-only — anything else
 #: failing to build the engine in an engine-forced golden run is a bug
-#: (a silently de-batched suite would otherwise re-test the scalar path)
-EXPECTED_ENGINE_FALLBACKS = frozenset(
-    {"colorspace", "no adapter cutter stage"}
-)
+#: (a silently de-batched suite would otherwise re-test the scalar path).
+#: Colorspace is the ONLY whitelisted reason: SOLiD colorspace stays
+#: scalar by decision (see README "Colorspace" ADR); quality-only and
+#: overwrite configs run through the turbo device path.
+EXPECTED_ENGINE_FALLBACKS = frozenset({"colorspace"})
 
 #: batched-vs-scalar tally across the golden suite (reported by the
 #: session-finish hook in conftest.py)

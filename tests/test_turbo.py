@@ -506,3 +506,129 @@ def test_turbo_insert_correction_matches_scalar(tmp_path, config):
     assert trim_t["modifiers"] == trim_s["modifiers"]
     assert trim_t["filters"] == trim_s["filters"]
     assert trim_t["formatters"] == trim_s["formatters"]
+
+
+# -- mate overwrite (-w) ------------------------------------------------------
+
+
+def _write_overwrite_pairs(tmp_path, n=400, seed=31):
+    """Pairs engineered so the -w quality-window rules fire in BOTH
+    directions: ~1/4 of pairs have a low-quality read1 window with a
+    high-quality read2 (read1 replaced by rc(read2)), ~1/4 the reverse,
+    plus untriggered and short-read pairs. Mates have different lengths
+    (the replacement adopts the partner's length) and some records carry
+    a '+' line payload (the replacement adopts the partner's header)."""
+    rng = random.Random(seed)
+    path1 = str(tmp_path / "ow.1.fastq")
+    path2 = str(tmp_path / "ow.2.fastq")
+
+    def qual(length, lo, hi):
+        return "".join(chr(33 + rng.randint(lo, hi)) for _ in range(length))
+
+    with open(path1, "w") as out1, open(path2, "w") as out2:
+        for i in range(n):
+            len1 = rng.randrange(20, 100)
+            len2 = rng.randrange(20, 80)
+            roll = rng.random()
+            if roll < 0.25:
+                q1, q2 = qual(len1, 0, 8), qual(len2, 35, 40)
+            elif roll < 0.5:
+                q1, q2 = qual(len1, 35, 40), qual(len2, 0, 8)
+            elif roll < 0.6:
+                # short reads: below the window size, ineligible
+                len1, len2 = rng.randrange(1, 9), rng.randrange(1, 9)
+                q1, q2 = qual(len1, 0, 40), qual(len2, 0, 40)
+            else:
+                q1, q2 = qual(len1, 5, 35), qual(len2, 5, 35)
+            seq1 = "".join(rng.choice("ACGTN") for _ in range(len1))
+            seq2 = "".join(rng.choice("ACGTN") for _ in range(len2))
+            if len1 > 25 and rng.random() < 0.3:
+                pos = max(5, len1 - 20)
+                seq1 = seq1[:pos] + ADAPTER[: len1 - pos]
+            name1 = "ow{}/1 x".format(i)
+            name2 = "ow{}/2 x".format(i)
+            plus1 = name1 if rng.random() < 0.5 else ""
+            plus2 = name2 if rng.random() < 0.5 else ""
+            out1.write("@{}\n{}\n+{}\n{}\n".format(name1, seq1, plus1, q1))
+            out2.write("@{}\n{}\n+{}\n{}\n".format(name2, seq2, plus2, q2))
+    return path1, path2
+
+
+OVERWRITE_CONFIGS = [
+    # default op order 'CGQAW': W last, measured on the trimmed reads
+    ["-w", "10,30,10"],
+    ["-w", "10,30,10", "-a", AD, "-A", AD2, "--aligner", "adapter"],
+    ["-w", "10,30,10", "-a", AD, "-A", AD2, "--aligner", "adapter",
+     "-q", "20", "-m", "14"],
+    ["-w", "12,25,15", "-u", "3", "--nextseq-trim", "22"],
+    ["-w", "10,30,10", "-q", "15,20"],
+    ["-w", "10,30,10", "--discard-untrimmed", "-a", AD, "-A", AD2,
+     "--aligner", "adapter"],
+    ["-w", "10,30,10", "-m", "25", "--max-n", "0.2", "--pair-filter", "both"],
+    # cutadapt-compat op order 'WCGQA': W first, raw reads are replaced
+    # and every later stage operates on the replacement
+    ["-w", "10,30,10", "--op-order", "WCGQA", "-a", AD, "-A", AD2,
+     "--aligner", "adapter", "-q", "20", "-m", "14"],
+    ["-w", "12,25,15", "--op-order", "WCGQA", "-u", "3",
+     "--nextseq-trim", "22"],
+    ["-w", "10,30,10", "--op-order", "WCGQA", "-m", "25", "--max-n", "0.2"],
+]
+
+
+@pytest.mark.parametrize(
+    "config", OVERWRITE_CONFIGS, ids=lambda c: " ".join(c)
+)
+def test_turbo_overwrite_matches_scalar(tmp_path, config):
+    """OverwriteRead (-w) through the turbo pre-pass must be
+    byte-identical to the scalar pair modifier, including replaced
+    record headers and downstream trimming of the replaced content."""
+    in1, in2 = _write_overwrite_pairs(tmp_path)
+    s1, s2, rep_s, _ = _run_paired(
+        tmp_path, config, in1, in2, "scalar", turbo=False
+    )
+    t1, t2, rep_t, sum_t = _run_paired(
+        tmp_path, config, in1, in2, "turbo", turbo=True
+    )
+    assert sum_t.get("mode") == "turbo", "overwrite turbo path not taken"
+    for scalar_file, turbo_file in ((s1, t1), (s2, t2)):
+        with open(scalar_file) as fh:
+            scalar_data = fh.read()
+        with open(turbo_file) as fh:
+            turbo_data = fh.read()
+        assert turbo_data == scalar_data
+    rep_scalar = json.load(open(rep_s))
+    rep_turbo = json.load(open(rep_t))
+    assert rep_turbo["trim"]["modifiers"] == rep_scalar["trim"]["modifiers"]
+    assert rep_turbo["trim"]["filters"] == rep_scalar["trim"]["filters"]
+    assert (
+        rep_turbo["trim"]["formatters"] == rep_scalar["trim"]["formatters"]
+    )
+
+
+def test_turbo_overwrite_interleaved_output(tmp_path):
+    """-w with interleaved output: the alt-name path must survive the
+    byte-interleaving assembly."""
+    in1, in2 = _write_overwrite_pairs(tmp_path, n=120)
+    outs = {}
+    for turbo in (False, True):
+        tag = "t" if turbo else "s"
+        out = str(tmp_path / "il-{}.fastq".format(tag))
+        argv = [
+            "-w", "10,30,10", "-q", "20",
+            "-pe1", in1, "-pe2", in2, "-L", out,
+            "--no-cache-adapters", "--no-default-adapters",
+            "--report-file", str(tmp_path / "rep-il-{}.json".format(tag)),
+            "--quiet",
+        ]
+        import os
+
+        os.environ["ATROPOS_TPU_ENGINE"] = "1" if turbo else "0"
+        try:
+            retcode, summary = get_command("trim").execute(argv)
+        finally:
+            os.environ.pop("ATROPOS_TPU_ENGINE", None)
+        assert retcode == 0, summary.get("exception")
+        if turbo:
+            assert summary.get("mode") == "turbo"
+        outs[tag] = open(out).read()
+    assert outs["t"] == outs["s"]
