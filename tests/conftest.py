@@ -47,7 +47,9 @@ def pytest_generate_tests(metafunc):
 
 def pytest_terminal_summary(terminalreporter):
     """Report the batched-vs-scalar split of the engine-forced golden runs
-    so coverage regressions are visible in the test log."""
+    so coverage regressions are visible in the test log, and list every
+    skipped test with its reason (skips must be loud: each one is an
+    optional-dependency surface the suite did NOT exercise)."""
     from .conformance_utils import ENGINE_RUN_TALLY
 
     total = sum(ENGINE_RUN_TALLY.values())
@@ -57,6 +59,12 @@ def pytest_terminal_summary(terminalreporter):
             "{whitelisted_fallback} whitelisted-scalar (of {total})".format(
                 total=total, **ENGINE_RUN_TALLY
             )
+        )
+    skipped = terminalreporter.stats.get("skipped", ())
+    for report in skipped:
+        reason = report.longrepr[2] if report.longrepr else ""
+        terminalreporter.write_line(
+            "skipped: {} ({})".format(report.nodeid, reason)
         )
 
 

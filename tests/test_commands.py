@@ -297,3 +297,80 @@ def test_device_batch_intersections_match_host(monkeypatch):
             assert mat[m_idx, r_idx] == kmers.intersection_size(
                 contams[m_idx], reads[r_idx]
             )
+
+
+def test_detect_khmer_countgraph_branch(tmp_path, monkeypatch):
+    """Drive the khmer-importable branch of KhmerDetector with a stub
+    Countgraph (ref detect/__init__.py:748 uses khmer when present; this
+    environment has no khmer, so the import is faked). The stub counts
+    exactly, so the result must agree with the exact-count fallback."""
+    import sys
+    import types
+
+    class FakeCountgraph:
+        def __init__(self, ksize, tablesize, n_tables):
+            self.ksize = ksize
+            self.counts = {}
+            self.bigcount = False
+
+        def set_use_bigcount(self, flag):
+            self.bigcount = flag
+
+        def consume_and_tag(self, seq):
+            for i in range(len(seq) - self.ksize + 1):
+                kmer = seq[i : i + self.ksize]
+                self.counts[kmer] = self.counts.get(kmer, 0) + 1
+
+        def get_tagset(self):
+            return list(self.counts)
+
+        def get(self, kmer):
+            return self.counts.get(kmer, 0)
+
+    fake_khmer = types.ModuleType("khmer")
+    fake_khmer.Countgraph = FakeCountgraph
+    fake_args = types.ModuleType("khmer.khmer_args")
+    fake_args.DEFAULT_N_TABLES = 4
+    fake_khmer.khmer_args = fake_args
+    monkeypatch.setitem(sys.modules, "khmer", fake_khmer)
+    monkeypatch.setitem(sys.modules, "khmer.khmer_args", fake_args)
+
+    # synthetic heavily-contaminated input: half the reads carry the
+    # adapter, so its k-mers clear the over-representation cutoff
+    import random
+
+    adapter = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCACACAGTGATCTCGTATGCC"
+    rng = random.Random(5)
+    infile = str(tmp_path / "contaminated.fastq")
+    with open(infile, "w") as out:
+        for i in range(1000):
+            seq = "".join(rng.choice("ACGT") for _ in range(100))
+            if i % 2:
+                seq = seq[:40] + adapter + seq[40:]
+                seq = seq[:100]
+            out.write("@r{}\n{}\n+\n{}\n".format(i, seq, "I" * len(seq)))
+    args = [
+        "-se", infile,
+        "-d", "khmer",
+        "--no-default-contaminants", "--no-cache-contaminants",
+        "-x", "TruSeq=" + adapter,
+        "--quiet",
+    ]
+    retcode, summary = get_command("detect").execute(
+        args + ["-o", str(tmp_path / "det-stub.txt")]
+    )
+    assert retcode == 0
+    stub_matches = summary["detect"]["matches"][0]
+    assert stub_matches, "stubbed Countgraph branch found no matches"
+
+    # same run without the stub: the exact-count fallback must agree
+    monkeypatch.delitem(sys.modules, "khmer")
+    monkeypatch.delitem(sys.modules, "khmer.khmer_args")
+    retcode, summary2 = get_command("detect").execute(
+        args + ["-o", str(tmp_path / "det-exact.txt")]
+    )
+    assert retcode == 0
+    exact_matches = summary2["detect"]["matches"][0]
+    assert [m["longest_kmer"] for m in stub_matches] == [
+        m["longest_kmer"] for m in exact_matches
+    ]

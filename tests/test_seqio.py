@@ -462,3 +462,18 @@ def test_text_sam_reader_paired(tmp_path):
     read1, read2 = pairs[0]
     assert read1.sequence == lines1[1]
     assert read2.sequence == lines2[1]
+
+
+def test_bam_requires_pysam(tmp_path):
+    """BAM input without pysam fails with the actionable ImportError, not
+    a parse error (the text-SAM fallback serves SAM only; ref
+    seqio.py:751 documents pysam as the BAM surface)."""
+    import gzip
+
+    bam = str(tmp_path / "tiny.bam")
+    # minimal BGZF/BAM magic: a gzip stream whose payload starts 'BAM\1'
+    with gzip.open(bam, "wb") as out:
+        out.write(b"BAM\x01" + b"\x00" * 16)
+    reader = openseq(bam, file_format="sam")
+    with pytest.raises(ImportError, match="pysam"):
+        next(iter(reader))

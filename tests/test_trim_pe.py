@@ -589,3 +589,31 @@ def test_issue122_empty_gz_outputs(tmp_path):
         check_files=False,
         callback=callback,
     )
+
+
+def test_missing_file(tmp_path):
+    """`-p` without `-o` is a CLI error (ref tests/test_paired.py:198)."""
+    with pytest.raises(SystemExit):
+        get_command("trim").execute(
+            [
+                "-a", "XX",
+                "--paired-output", str(tmp_path / "out.fastq"),
+                "-pe1", datapath("paired.1.fastq"),
+                "-pe2", datapath("paired.2.fastq"),
+                "--quiet", "--no-cache-adapters", "--no-default-adapters",
+            ]
+        )
+
+
+def test_interleaved_no_paired_output(tmp_path):
+    """Interleaved input with read2 modifications but only a single
+    non-interleaved output is a CLI error (ref tests/test_paired.py:390)."""
+    with pytest.raises(SystemExit):
+        get_command("trim").execute(
+            [
+                "-a", "XX", "-A", "XX",
+                "-l", datapath("interleaved.fastq"),
+                "-o", str(tmp_path / "out.1.fastq"),
+                "--quiet", "--no-cache-adapters", "--no-default-adapters",
+            ]
+        )
