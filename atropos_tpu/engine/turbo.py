@@ -267,6 +267,69 @@ class _ChunkStream:
         self._fh.close()
 
 
+class _PrefetchStream:
+    """Background read+parse for a _ChunkStream: a producer thread keeps
+    up to ``depth`` parsed chunks ready, so the native parse (which
+    releases the GIL) overlaps the main thread's gather/submit/resolve
+    work. This is the host-side analog of the device pipeline window —
+    the parse phase runs at ~6.7M reads/s/core (PERF.md host budget) and
+    would otherwise serialize with everything else on the main thread."""
+
+    def __init__(self, stream, depth=2):
+        import queue
+        import threading
+
+        self._stream = stream
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._exc = None
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            while not self._closed:
+                chunk = self._stream.next_chunk()
+                self._q.put(chunk)
+                if chunk is None:
+                    return
+        except BaseException as exc:
+            if not self._closed:
+                self._exc = exc
+            self._q.put(None)
+
+    def next_chunk(self):
+        item = self._q.get()
+        if item is None:
+            if self._exc is not None:
+                exc, self._exc = self._exc, None
+                raise exc
+            # keep yielding None for any further calls
+            self._q.put(None)
+        return item
+
+    def close(self):
+        import queue
+
+        self._closed = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join()
+        self._stream.close()
+
+
+def _maybe_prefetch(stream):
+    """Wrap a chunk stream with the parse-ahead thread unless disabled
+    (``ATROPOS_TPU_PREFETCH=0``)."""
+    depth = _env_int("ATROPOS_TPU_PREFETCH", 2)
+    if depth <= 0:
+        return stream
+    return _PrefetchStream(stream, depth)
+
+
 class _MateLane:
     """One mate's stage configuration and device work.
 
@@ -1417,12 +1480,29 @@ class _InsertPair:
 
     # -- submit ---------------------------------------------------------------
 
+    def _packed_syms(self, chunk1, chunk2, w_ins):
+        """The combined symbol alphabet for the packed diagonal matcher
+        (query = mate1 bytes, ref = complemented mate2 bytes), or None
+        when the packed kernel cannot apply (too many symbols, counts
+        exceed a byte)."""
+        if w_ins > 255:
+            return None
+        comp = _complement_lut()
+        syms = sorted(
+            set(int(x) for x in chunk1.alphabet)
+            | set(int(comp[x]) for x in chunk2.alphabet)
+        )
+        if len(syms) > 14:  # codes 0..13; 14/15 are sentinels
+            return None
+        return tuple(syms)
+
     def submit(self, chunk1, sub1, chunk2, sub2):
         tok1, args1, mode1 = self.lane1.prepare(chunk1, sub1)
         tok2, args2, mode2 = self.lane2.prepare(chunk2, sub2)
         assert tok1.pad_b == tok2.pad_b  # same batch size + block config
         step = self._get_step(
-            tok1.width, tok2.width, tok1.pad_b, mode1, mode2
+            tok1.width, tok2.width, tok1.pad_b, mode1, mode2,
+            self._packed_syms(chunk1, chunk2, min(tok1.width, tok2.width)),
         )
         bundle = step(*(list(args1) + list(args2)))
         if self._sharded:
@@ -1431,8 +1511,8 @@ class _InsertPair:
             SHARD_COUNTS["sharded_calls"] += 1
         return _PairInflight(tok1, tok2, bundle)
 
-    def _get_step(self, w1, w2, pad_b, mode1, mode2):
-        key = (w1, w2, pad_b, mode1, mode2)
+    def _get_step(self, w1, w2, pad_b, mode1, mode2, packed_syms=None):
+        key = (w1, w2, pad_b, mode1, mode2, packed_syms)
         if key in self._steps:
             return self._steps[key]
 
@@ -1453,7 +1533,15 @@ class _InsertPair:
             use_pallas = jax.default_backend() not in ("cpu",)
         else:
             use_pallas = use_pallas not in ("0", "false", "no")
-        if use_pallas:
+        packed_matcher = None
+        if use_pallas and packed_syms is not None:
+            from atropos_tpu.align.pallas_kernel import (
+                PallasPackedInsertMatcher,
+            )
+
+            packed_matcher = PallasPackedInsertMatcher(packed_syms)
+            counts_core = None
+        elif use_pallas:
             from atropos_tpu.align.pallas_kernel import PallasInsertMatcher
 
             counts_core = PallasInsertMatcher().counts
@@ -1476,23 +1564,37 @@ class _InsertPair:
             t = jnp.arange(w_ins, dtype=jnp.int32)[None, :]
             idx = jnp.clip(m_col[:, None] - 1 - t, 0, w2 - 1)
             ref_plane = jnp.take_along_axis(plane2, idx, axis=1)
-            counts = counts_core(
-                ref_plane.T, plane1[:, :w_ins].T, m_col[None, :]
-            )
             rows = rows1 + rows2
             for extra in extras1 + extras2:
                 rows.append(extra[None, :].astype(jnp.int32))
-            if w_ins <= 255:
-                # counts fit a byte: pack two diagonals per int16 row
-                # (biased into int16 range to survive the bundle clip)
-                c = counts
-                if w_ins % 2:
-                    c = jnp.concatenate(
-                        [c, jnp.zeros((1, c.shape[1]), c.dtype)]
-                    )
-                rows.append((c[0::2] | (c[1::2] << 8)) - 32768)
+            if packed_matcher is not None:
+                # packed kernel: 4 byte-counts per int32 word; split into
+                # the SAME biased int16 wire rows as the generic path
+                # (row 2o = counts 4o,4o+1; row 2o+1 = counts 4o+2,4o+3)
+                pc = packed_matcher.counts_packed(
+                    ref_plane.T, plane1[:, :w_ins].T, m_col[None, :]
+                )
+                low = (pc & 0xFFFF) - 32768
+                high = (jnp.right_shift(pc, 16) & 0xFFFF) - 32768
+                c16 = jnp.stack([low, high], axis=1).reshape(
+                    2 * pc.shape[0], pc.shape[1]
+                )
+                rows.append(c16[: (w_ins + 1) // 2])
             else:
-                rows.append(counts)
+                counts = counts_core(
+                    ref_plane.T, plane1[:, :w_ins].T, m_col[None, :]
+                )
+                if w_ins <= 255:
+                    # counts fit a byte: pack two diagonals per int16 row
+                    # (biased into int16 range to survive the bundle clip)
+                    c = counts
+                    if w_ins % 2:
+                        c = jnp.concatenate(
+                            [c, jnp.zeros((1, c.shape[1]), c.dtype)]
+                        )
+                    rows.append((c[0::2] | (c[1::2] << 8)) - 32768)
+                else:
+                    rows.append(counts)
             if sharded:
                 rows.append(
                     _MateLane._stats_rows(jax, jnp, rows, 2, m_col)
@@ -2188,7 +2290,11 @@ class _AsyncWriter:
     """Single background writer thread: output bytes are enqueued in
     resolution order (one queue, one thread — per-file byte order is
     preserved) so disk/compression time overlaps device compute and
-    link transfer. Write errors surface on the next enqueue or close."""
+    link transfer. ``data`` may be a zero-arg callable producing the
+    bytes — the native formatter then ALSO runs on this thread,
+    overlapping record assembly (~24M reads/s/core, PERF.md) with the
+    main thread's window resolution. Errors surface on the next enqueue
+    or close."""
 
     def __init__(self):
         import queue
@@ -2207,6 +2313,8 @@ class _AsyncWriter:
             if self._exc is None:
                 handle, data = item
                 try:
+                    if callable(data):
+                        data = data()
                     handle.write(data)
                 except BaseException as exc:  # propagate to the producer
                     self._exc = exc
@@ -2683,7 +2791,9 @@ class TurboTrimRunner(_TurboRunnerBase):
 
         quota = int_or_str(options.max_reads) or None
         seen = 0
-        stream = _ChunkStream(options.input1, self.CHUNK_BYTES, self._in_fmt)
+        stream = _maybe_prefetch(
+            _ChunkStream(options.input1, self.CHUNK_BYTES, self._in_fmt)
+        )
         self._writer = _AsyncWriter()
         profiling = self._start_profile()
         try:
@@ -2784,10 +2894,13 @@ class TurboTrimRunner(_TurboRunnerBase):
                 formatters.discarded += count
                 continue
             route(formatter, mask, count)
+        from functools import partial
+
         for path, mask in path_masks.items():
             self._writer.write(
                 self._open_output(path),
-                _format_records(
+                partial(
+                    _format_records,
                     tok.chunk, tok.sub, keep_start, keep_stop, mask,
                     fmt=self._fmt_of(path),
                 ),
@@ -3016,8 +3129,12 @@ class TurboPairedRunner(_TurboRunnerBase):
 
     def _pump_two_files(self, quota):
         options = self.options
-        s1 = _ChunkStream(options.input1, self.CHUNK_BYTES, self._in_fmts[0])
-        s2 = _ChunkStream(options.input2, self.CHUNK_BYTES, self._in_fmts[1])
+        s1 = _maybe_prefetch(
+            _ChunkStream(options.input1, self.CHUNK_BYTES, self._in_fmts[0])
+        )
+        s2 = _maybe_prefetch(
+            _ChunkStream(options.input2, self.CHUNK_BYTES, self._in_fmts[1])
+        )
         seen_pairs = 0
         cur1 = cur2 = None
         pos1 = pos2 = 0
@@ -3063,8 +3180,10 @@ class TurboPairedRunner(_TurboRunnerBase):
         from atropos_tpu.io.seqio import FormatError
 
         options = self.options
-        stream = _ChunkStream(
-            options.interleaved_input, self.CHUNK_BYTES, self._in_fmts[0]
+        stream = _maybe_prefetch(
+            _ChunkStream(
+                options.interleaved_input, self.CHUNK_BYTES, self._in_fmts[0]
+            )
         )
         seen_pairs = 0
         leftover = None  # (chunk, record index) awaiting its partner
@@ -3506,42 +3625,48 @@ class TurboPairedRunner(_TurboRunnerBase):
                 if file2 is not None:
                     prev2 = masks2.get(file2)
                     masks2[file2] = mask if prev2 is None else (prev2 | mask)
+        from functools import partial
+
         for tok, ks, kp, masks in (
             (tok1, ks1, kp1, masks1), (tok2, ks2, kp2, masks2),
         ):
             for path, mask in masks.items():
                 self._writer.write(
                     self._open_output(path),
-                    _format_records(
+                    partial(
+                        _format_records,
                         tok.chunk, tok.sub, ks, kp, mask,
                         fmt=self._fmt_of(path), alt=tok.alt,
                     ),
                 )
-        for path, mask in masks_il.items():
-            fmt = self._fmt_of(path)
-            self._writer.write(
-                self._open_output(path),
-                _interleave_records(
-                    (
-                        _format_records(
-                            tok1.chunk, tok1.sub, ks1, kp1, mask, fmt,
-                            alt=tok1.alt,
-                        ),
-                        _record_byte_lengths(
-                            tok1.chunk, tok1.sub, ks1, kp1, mask, fmt,
-                            alt=tok1.alt,
-                        ),
+
+        def interleave(fmt, mask):
+            return _interleave_records(
+                (
+                    _format_records(
+                        tok1.chunk, tok1.sub, ks1, kp1, mask, fmt,
+                        alt=tok1.alt,
                     ),
-                    (
-                        _format_records(
-                            tok2.chunk, tok2.sub, ks2, kp2, mask, fmt,
-                            alt=tok2.alt,
-                        ),
-                        _record_byte_lengths(
-                            tok2.chunk, tok2.sub, ks2, kp2, mask, fmt,
-                            alt=tok2.alt,
-                        ),
+                    _record_byte_lengths(
+                        tok1.chunk, tok1.sub, ks1, kp1, mask, fmt,
+                        alt=tok1.alt,
                     ),
                 ),
+                (
+                    _format_records(
+                        tok2.chunk, tok2.sub, ks2, kp2, mask, fmt,
+                        alt=tok2.alt,
+                    ),
+                    _record_byte_lengths(
+                        tok2.chunk, tok2.sub, ks2, kp2, mask, fmt,
+                        alt=tok2.alt,
+                    ),
+                ),
+            )
+
+        for path, mask in masks_il.items():
+            self._writer.write(
+                self._open_output(path),
+                partial(interleave, self._fmt_of(path), mask),
             )
         self._emit_side_files([(self.lane1, tok1), (self.lane2, tok2)])

@@ -171,3 +171,55 @@ def test_pallas_insert_counts_match_xla():
         )
     )
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("W", [33, 64, 100, 255])
+def test_packed_insert_counts_match_xla(W):
+    """The bit-packed diagonal matcher (4-bit codes, 8/word, sentinel
+    out-of-range handling, packed-4 output) must equal the XLA scan
+    exactly, across widths incl. non-multiples of 8 and varied
+    alphabets (interpret mode on CPU)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from atropos_tpu.align.batched import _diagonal_match_counts
+    from atropos_tpu.align.pallas_kernel import PallasPackedInsertMatcher
+
+    rng = np.random.default_rng(W)
+    B = 256
+    alphabet = np.frombuffer(b"ACGTNacgtn", np.uint8)
+    refs = alphabet[rng.integers(0, len(alphabet), size=(W, B))].astype(
+        np.int32
+    )
+    queries = alphabet[rng.integers(0, len(alphabet), size=(W, B))].astype(
+        np.int32
+    )
+    queries[:, :32] = refs[:, :32]
+    lengths = rng.integers(0, W + 1, size=(1, B)).astype(np.int32)
+
+    matcher = PallasPackedInsertMatcher(alphabet)
+    matcher.INTERPRET = True
+    matcher.BLOCK = 128
+    assert matcher.usable(W)
+    got = np.asarray(
+        matcher.counts(
+            jnp.asarray(refs), jnp.asarray(queries), jnp.asarray(lengths)
+        )
+    )
+    want = np.asarray(
+        _diagonal_match_counts(
+            jnp.asarray(refs), jnp.asarray(queries), jnp.asarray(lengths)
+        )
+    )
+    assert np.array_equal(got, want)
+
+
+def test_packed_insert_matcher_usability_gates():
+    from atropos_tpu.align.pallas_kernel import PallasPackedInsertMatcher
+
+    small = PallasPackedInsertMatcher(b"ACGTN")
+    assert small.usable(255)
+    assert not small.usable(256)  # counts must fit a byte
+    wide = PallasPackedInsertMatcher(bytes(range(40, 60)))  # 20 symbols
+    assert not wide.usable(100)
