@@ -64,11 +64,19 @@ class AdapterCutter(Modifier):
         trimmed_read.sequence = masked
         trimmed_read.qualities = matches[0].read.qualities
 
-    def __call__(self, read, first_match=_NO_INJECTION):
+    def __call__(self, read, first_match=_NO_INJECTION, injected_rounds=None):
+        """``injected_rounds`` lets the batched engine supply the ENTIRE
+        (matches, final_read) state of :meth:`_match_rounds`, computed
+        with batched kernels over whole batches — including rounds 2+
+        of ``--times`` and linked-adapter front/back passes."""
         if len(read) == 0:
             return read
 
-        matches, trimmed_read = self._match_rounds(read, first_match)
+        if injected_rounds is not None:
+            matches, trimmed_read = injected_rounds
+            matches = list(matches)
+        else:
+            matches, trimmed_read = self._match_rounds(read, first_match)
         if not matches:
             trimmed_read.match = None
             trimmed_read.match_info = None

@@ -9,11 +9,14 @@ results are injected back into the unchanged host modifier chain
 downstream behavior (trimming bookkeeping, stats, filters, formatting)
 bit-identical to the scalar path.
 
-Eligibility: any AdapterCutter stage whose adapters are plain
-:class:`~atropos_tpu.adapters.Adapter` instances (colorspace and linked
-adapters take the scalar path per adapter; they can coexist in the same
-adapter list). ``times > 1`` rounds after the first fall back to scalar
-matching for the (few) reads still matching.
+Eligibility: any AdapterCutter stage. Plain
+:class:`~atropos_tpu.adapters.Adapter` instances match batched on
+device; linked adapters batch as two masked passes (the anchored front
+part over the full reads, then the back part over the remainders of the
+front-matched subset); every round of ``--times`` re-matches the
+still-matching subset batched on its trimmed forms. Only colorspace
+adapters take the per-read scalar path (see the README colorspace
+decision record); they can coexist in the same adapter list.
 
 Shapes are bucketed (batch to powers of two, length to multiples of 32)
 so the number of distinct compiled kernels stays small.
@@ -22,7 +25,14 @@ import os
 
 import numpy as np
 
-from atropos_tpu.adapters import Adapter, ColorspaceAdapter, PREFIX, SUFFIX
+from atropos_tpu.adapters import (
+    Adapter,
+    ColorspaceAdapter,
+    LinkedAdapter,
+    LinkedMatch,
+    PREFIX,
+    SUFFIX,
+)
 from atropos_tpu.align import Match
 from atropos_tpu.align.batched import (
     BatchAligner,
@@ -47,6 +57,12 @@ from atropos_tpu.util import reverse_complement
 #: run batched rather than silently degrading.
 BUILD_COUNTS = {"engine": 0, "fallback": 0}
 LAST_FALLBACK_REASON = None
+
+#: matching-dispatch telemetry: batches matched through the batched
+#: (device / host-vectorized) path vs reads that took per-read scalar
+#: ``match_to`` inside an engine run (colorspace adapters only). Tests
+#: use this to PROVE linked adapters and times>1 rounds run batched.
+MATCH_COUNTS = {"batched": 0, "scalar_reads": 0}
 
 
 def engine_enabled():
@@ -214,11 +230,31 @@ class _PrefixSuffixMatcher:
         return out
 
 
+def _encode_batch(read_objs):
+    """(enc, lengths) for a list of reads — the shared per-batch
+    encoding used by every matcher."""
+    sequences = [read.sequence.upper() for read in read_objs]
+    width = _bucket_len(max((len(s) for s in sequences), default=1))
+    return encode_reads(sequences, pad_to=width)
+
+
 class _AdapterMatcher:
     """Per-adapter device/host matcher producing Match objects for a batch."""
 
     def __init__(self, adapter):
         self.adapter = adapter
+        self.linked = isinstance(adapter, LinkedAdapter)
+        if self.linked:
+            # two masked passes: the (anchored) front part over the full
+            # reads, then the back part batched over the remainders of
+            # the reads whose front matched — the batch image of
+            # ``LinkedAdapter.match_to`` (ref adapters/__init__.py:615-745)
+            self._front = _AdapterMatcher(adapter.front_adapter)
+            self._back = _AdapterMatcher(adapter.back_adapter)
+            self.scalar_only = (
+                self._front.scalar_only or self._back.scalar_only
+            )
+            return
         self.scalar_only = not isinstance(adapter, Adapter) or isinstance(
             adapter, ColorspaceAdapter
         )
@@ -234,11 +270,38 @@ class _AdapterMatcher:
             self._aligners[key] = make_batch_aligner(self.adapter)
         return self._aligners[key]
 
+    def _match_linked(self, read_objs, enc, lengths):
+        front = self._front.match_batch(read_objs, enc, lengths)
+        out = [None] * len(read_objs)
+        rem_idx = []
+        rem_reads = []
+        for idx, front_match in enumerate(front):
+            if front_match is None:
+                continue
+            rem_idx.append(idx)
+            rem_reads.append(read_objs[idx][front_match.rstop :])
+        back = [None] * len(rem_idx)
+        nonempty = [
+            pos for pos, read in enumerate(rem_reads) if len(read) > 0
+        ]
+        if nonempty:
+            sub = [rem_reads[pos] for pos in nonempty]
+            found = self._back.match_batch(sub, *_encode_batch(sub))
+            for pos, match in zip(nonempty, found):
+                back[pos] = match
+        for pos, idx in enumerate(rem_idx):
+            out[idx] = LinkedMatch(front[idx], back[pos], self.adapter)
+        return out
+
     def match_batch(self, read_objs, enc, lengths):
         """Return a list of Match|None for every read in the batch."""
         adapter = self.adapter
         if self.scalar_only:
+            MATCH_COUNTS["scalar_reads"] += len(read_objs)
             return [adapter.match_to(read) for read in read_objs]
+        MATCH_COUNTS["batched"] += 1
+        if self.linked:
+            return self._match_linked(read_objs, enc, lengths)
 
         if self._ps_matcher is not None:
             out = self._ps_matcher.locate_batch(enc, lengths)
@@ -291,9 +354,7 @@ class BatchMatcher:
         """Batched equivalent of ``AdapterCutter._best_match`` per read."""
         if not read_objs:
             return []
-        sequences = [read.sequence.upper() for read in read_objs]
-        width = _bucket_len(max((len(s) for s in sequences), default=1))
-        enc, lengths = encode_reads(sequences, pad_to=width)
+        enc, lengths = _encode_batch(read_objs)
         per_adapter = [
             matcher.match_batch(read_objs, enc, lengths)
             for matcher in self.matchers
@@ -306,6 +367,32 @@ class BatchMatcher:
                 if best[idx] is None or match.matches > best[idx].matches:
                     best[idx] = match
         return best
+
+    def match_rounds(self, read_objs, times):
+        """Batched equivalent of ``AdapterCutter._match_rounds`` for the
+        whole batch: up to ``times`` best-match+trim rounds, each round
+        re-matching only the reads still matching, on their trimmed
+        forms. Returns one ``(matches, final_read)`` tuple per read —
+        exactly the scalar loop's state (``adapter_cutter.py:38-51``)."""
+        results = [([], read) for read in read_objs]
+        active = [
+            idx for idx, read in enumerate(read_objs) if len(read) > 0
+        ]
+        for _ in range(times):
+            if not active:
+                break
+            found = self.best_matches([results[idx][1] for idx in active])
+            next_active = []
+            for idx, match in zip(active, found):
+                if match is None:
+                    continue
+                matches, current = results[idx]
+                matches.append(match)
+                results[idx] = (matches, match.adapter.trimmed(match))
+                if len(results[idx][1]) > 0:
+                    next_active.append(idx)
+            active = next_active
+        return results
 
 
 class TrimEngine:
@@ -433,25 +520,27 @@ class TrimEngine:
                 read1, read2 = self._apply_entry(entry, read1, read2)
             staged.append((read1, read2))
 
-        # phase 2: batched matching (skip empty reads — cutter ignores them)
-        matches1 = matches2 = insert_candidates = None
+        # phase 2: batched matching — ALL ``times`` rounds run batched
+        # (each round re-matches the still-matching subset on its
+        # trimmed forms); linked adapters batch as front/back passes
+        rounds1 = rounds2 = insert_candidates = None
         if self.insert_cutter is not None:
             insert_candidates = self._insert_candidates(staged)
         if self.matcher1:
-            reads1 = [r1 for r1, _ in staged]
-            nonempty = [r for r in reads1 if len(r) > 0]
-            found = iter(self.matcher1.best_matches(nonempty))
-            matches1 = [next(found) if len(r) > 0 else None for r in reads1]
+            rounds1 = self.matcher1.match_rounds(
+                [r1 for r1, _ in staged], self.cutter1.times
+            )
         if self.matcher2:
             reads2 = [r2 for _, r2 in staged]
-            nonempty = [r for r in reads2 if r is not None and len(r) > 0]
-            found = iter(self.matcher2.best_matches(nonempty))
-            matches2 = [
-                next(found) if (r is not None and len(r) > 0) else None
-                for r in reads2
-            ]
+            present = [i for i, r in enumerate(reads2) if r is not None]
+            sub = self.matcher2.match_rounds(
+                [reads2[i] for i in present], self.cutter2.times
+            )
+            rounds2 = [None] * len(reads2)
+            for i, item in zip(present, sub):
+                rounds2[i] = item
 
-        # phase 3: cutter with injected first-round matches + post modifiers
+        # phase 3: cutter with injected match rounds + post modifiers
         out = []
         for idx, (read1, read2) in enumerate(staged):
             if self.insert_cutter is not None:
@@ -459,9 +548,9 @@ class TrimEngine:
                     read1, read2, insert_candidates=insert_candidates[idx]
                 )
             if self.cutter1 is not None:
-                read1 = self.cutter1(read1, first_match=matches1[idx])
+                read1 = self.cutter1(read1, injected_rounds=rounds1[idx])
             if self.cutter2 is not None and read2 is not None:
-                read2 = self.cutter2(read2, first_match=matches2[idx])
+                read2 = self.cutter2(read2, injected_rounds=rounds2[idx])
             for entry in self.post_entries:
                 read1, read2 = self._apply_entry(entry, read1, read2)
             out.append((read1, read2))
