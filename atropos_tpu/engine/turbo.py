@@ -330,6 +330,22 @@ def _maybe_prefetch(stream):
     return _PrefetchStream(stream, depth)
 
 
+def _host_qualtrim_enabled():
+    """Quality/NextSeq windows via the native host kernel (default) vs
+    the device kernels (``ATROPOS_TPU_HOST_QUALTRIM=0``). The host
+    kernel computes the same BWA partial-sum scans straight from the
+    chunk buffer at native speed, which (a) removes the raw-quality
+    upload — the single largest per-read transfer (~100 B vs 27 B for
+    the packed sequence) — and (b) removes the 5'-cutoff mid-batch
+    synchronization, restoring full pipelining for ``-q N,M`` configs.
+    The device kernels remain for ``=0`` and are covered by the same
+    differential tests."""
+    value = os.environ.get("ATROPOS_TPU_HOST_QUALTRIM")
+    if value is None:
+        return True
+    return value not in ("0", "false", "no")
+
+
 class _MateLane:
     """One mate's stage configuration and device work.
 
@@ -837,7 +853,42 @@ class _MateLane:
         sync_qclip = None
         quals_in = self._needs_quals
 
-        if self._sync_quality:
+        if quals_in and _host_qualtrim_enabled():
+            # native host quality path: windows + stats computed here,
+            # nothing quality-related crosses the link
+            g_stop, q_start, q_stop = self._native_quality(
+                chunk, sub, keep_start, win_len, overrides
+            )
+            wl = keep_stop - keep_start
+            if self.nextseq is not None:
+                nz = wl > 0
+                new_stop = keep_start + g_stop
+                self.nextseq.trimmed_bases += int(
+                    (keep_stop - new_stop)[nz].sum()
+                )
+                keep_stop = np.where(nz, new_stop, keep_stop)
+                wl = keep_stop - keep_start
+            if self.quality is not None:
+                nz = wl > 0
+                origin = keep_start
+                self.quality.trimmed_bases += int(
+                    (wl - (q_stop - q_start))[nz].sum()
+                )
+                keep_start = np.where(nz, origin + q_start, keep_start)
+                keep_stop = np.where(nz, origin + q_stop, keep_stop)
+            win_len = keep_stop - keep_start
+            if np.any(keep_start != cut_start):
+                seqs = self._gather(
+                    chunk, sub, chunk.seq_off, keep_start, width, pad_b
+                )
+                if overrides is not None:
+                    self._patch_rows(
+                        seqs, overrides, "seq", keep_start, width
+                    )
+            host_q = {"applied": True}
+            sync_qclip = (keep_start - cut_start, cut_stop - keep_stop)
+            quals_in = False
+        elif self._sync_quality:
             # 5' quality cutoff moves the window start: run the quality
             # kernels now (synchronous raw upload), apply windows + stats,
             # and re-gather for the adapter stage
@@ -1276,6 +1327,98 @@ class _MateLane:
         return keep_start, keep_stop
 
     # -- helpers ------------------------------------------------------------
+
+    def _native_quality(self, chunk, sub, keep_start, win_len, overrides):
+        """Relative (g_stop, q_start, q_stop) window arrays for this
+        lane's NextSeq/quality stages, computed by the native host
+        kernel straight from the chunk buffer (bit-identical to the
+        device kernels; scalar spec ``commands/trim/qualtrim.py``)."""
+        from atropos_tpu.runtime import _i32, _i64, _lib, _u8
+
+        batch = win_len.shape[0]
+        extra = keep_start.astype(np.int64)
+        qual_offs = np.ascontiguousarray(chunk.qual_off[sub] + extra, np.int64)
+        seq_offs = np.ascontiguousarray(chunk.seq_off[sub] + extra, np.int64)
+        wl = np.ascontiguousarray(win_len, np.int32)
+        g_stop = np.empty(batch, np.int32)
+        q_start = np.empty(batch, np.int32)
+        q_stop = np.empty(batch, np.int32)
+        nextseq_cut = self.nextseq.cutoff if self.nextseq is not None else -1
+        stage = self.quality if self.quality is not None else self.nextseq
+        base = stage.base
+        has_q = 1 if self.quality is not None else 0
+        cf = self.quality.cutoff_front if has_q else 0
+        cb = self.quality.cutoff_back if has_q else 0
+        _lib.quality_trim_windows(
+            _u8(chunk.buf), _i64(seq_offs), _i64(qual_offs), _i32(wl),
+            batch, base, nextseq_cut, has_q, cf, cb,
+            _i32(g_stop), _i32(q_start), _i32(q_stop),
+        )
+        if overrides is not None:
+            self._override_quality(
+                overrides, keep_start, win_len, g_stop, q_start, q_stop,
+                nextseq_cut, has_q, cf, cb, base,
+            )
+        return g_stop, q_start, q_stop
+
+    @staticmethod
+    def _override_quality(overrides, keep_start, win_len, g_stop, q_start,
+                          q_stop, nextseq_cut, has_q, cf, cb, base):
+        """Recompute the quality windows of mate-overwritten rows from
+        their replacement content (the native kernel read the chunk
+        buffer; these rows' bytes live in the overrides arrays)."""
+        for r_i, row in enumerate(overrides["rows"]):
+            start_w = int(keep_start[row])
+            length = int(win_len[row])
+            if length <= 0:
+                g_stop[row] = 0
+                q_start[row] = 0
+                q_stop[row] = 0
+                continue
+            quals = overrides["qual"][r_i, start_w : start_w + length]
+            seqs = overrides["seq"][r_i, start_w : start_w + length]
+            if nextseq_cut >= 0:
+                acc = best = 0
+                maxi = length
+                for j in range(length - 1, -1, -1):
+                    qv = int(quals[j]) - base
+                    if seqs[j] == ord("G"):
+                        qv = nextseq_cut - 1
+                    acc += nextseq_cut - qv
+                    if acc < 0:
+                        break
+                    if acc > best:
+                        best = acc
+                        maxi = j
+                g_stop[row] = maxi
+                length = maxi
+            else:
+                g_stop[row] = length
+            if not has_q:
+                q_start[row] = 0
+                q_stop[row] = length
+                continue
+            start, stop = 0, length
+            acc = best = 0
+            for j in range(length):
+                acc += cf - (int(quals[j]) - base)
+                if acc < 0:
+                    break
+                if acc > best:
+                    best = acc
+                    start = j + 1
+            acc = best = 0
+            for j in range(length - 1, -1, -1):
+                acc += cb - (int(quals[j]) - base)
+                if acc < 0:
+                    break
+                if acc > best:
+                    best = acc
+                    stop = j
+            if start >= stop:
+                start, stop = 0, 0
+            q_start[row] = start
+            q_stop[row] = stop
 
     def _gather(self, chunk, sub, offs, extra_off, width, pad_b=None):
         from atropos_tpu.runtime import _i32, _i64, _lib, _u8

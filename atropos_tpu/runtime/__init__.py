@@ -62,6 +62,13 @@ def _load():
     ]
     lib.scan_alphabet.restype = None
     lib.scan_alphabet.argtypes = [u8p, i64p, i32p, ctypes.c_int64, u8p]
+    lib.quality_trim_windows.restype = None
+    lib.quality_trim_windows.argtypes = [
+        u8p, i64p, i64p, i32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, i32p,
+    ]
     lib.gather_packed.restype = None
     lib.gather_packed.argtypes = [
         u8p, i64p, i32p, ctypes.c_int64, ctypes.c_int64,

@@ -207,6 +207,71 @@ int64_t fasta_format_trimmed(
     return w;
 }
 
+// BWA-style quality-trim windows, batched (host-native twin of the
+// device kernels in align/batched.py; scalar spec in
+// commands/trim/qualtrim.py and the reference _qualtrim.pyx:7-84).
+//
+// For each record i with window length win_len[i] at absolute offsets
+// seq_off[i]/qual_off[i] (already advanced to the window start):
+//   - if nextseq_cutoff >= 0: the NextSeq two-color 3' trim runs first
+//     ('G' bases count as quality nextseq_cutoff-1); g_stop[i] is its
+//     relative stop, and the quality stage (if any) scans the narrowed
+//     window.
+//   - if has_quality: the 5'/3' partial-sum scans produce relative
+//     (q_start[i], q_stop[i]); start >= stop collapses to (0, 0).
+// Records with win_len <= 0 emit zeros (callers mask empties anyway).
+void quality_trim_windows(
+    const uint8_t* buf,
+    const int64_t* seq_off, const int64_t* qual_off,
+    const int32_t* win_len,
+    int64_t n_records,
+    int32_t base,
+    int32_t nextseq_cutoff,
+    int32_t has_quality, int32_t cutoff_front, int32_t cutoff_back,
+    int32_t* g_stop, int32_t* q_start, int32_t* q_stop)
+{
+    for (int64_t i = 0; i < n_records; ++i) {
+        int32_t len = win_len[i];
+        if (len <= 0) { g_stop[i] = 0; q_start[i] = 0; q_stop[i] = 0; continue; }
+        const uint8_t* q = buf + qual_off[i];
+        const uint8_t* sq = buf + seq_off[i];
+        if (nextseq_cutoff >= 0) {
+            int32_t s = 0, maxq = 0, maxi = len;
+            for (int32_t j = len - 1; j >= 0; --j) {
+                int32_t qv = (int32_t)q[j] - base;
+                if (sq[j] == 'G') qv = nextseq_cutoff - 1;
+                s += nextseq_cutoff - qv;
+                if (s < 0) break;
+                if (s > maxq) { maxq = s; maxi = j; }
+            }
+            g_stop[i] = maxi;
+            len = maxi;
+        } else {
+            g_stop[i] = len;
+        }
+        if (!has_quality) { q_start[i] = 0; q_stop[i] = len; continue; }
+        int32_t start = 0, stop = len;
+        {
+            int32_t s = 0, maxq = 0;
+            for (int32_t j = 0; j < len; ++j) {
+                s += cutoff_front - ((int32_t)q[j] - base);
+                if (s < 0) break;
+                if (s > maxq) { maxq = s; start = j + 1; }
+            }
+        }
+        {
+            int32_t s = 0, maxq = 0;
+            for (int32_t j = len - 1; j >= 0; --j) {
+                s += cutoff_back - ((int32_t)q[j] - base);
+                if (s < 0) break;
+                if (s > maxq) { maxq = s; stop = j; }
+            }
+        }
+        if (start >= stop) { start = 0; stop = 0; }
+        q_start[i] = start; q_stop[i] = stop;
+    }
+}
+
 // Presence bitmap of byte values over the given records' payload bytes.
 // out_present must be uint8[256]; existing nonzero entries are preserved
 // (callers can accumulate over several record ranges).

@@ -106,3 +106,80 @@ def test_format_trimmed_and_filtered():
         keep=np.array([1, 0], np.uint8),
     )
     assert out == b"@read1 extra\nGTAC\n+\n!!!!\n"
+
+
+def test_native_quality_trim_windows_matches_scalar():
+    """The native host qualtrim kernel must match the scalar spec
+    (commands/trim/qualtrim.py) exactly, including NextSeq G-masking,
+    5'+3' cutoffs, zero cutoffs, and degenerate windows."""
+    import random
+
+    import numpy as np
+
+    from atropos_tpu.runtime import _i32, _i64, _lib, _u8
+    from atropos_tpu.commands.trim.qualtrim import quality_trim_index
+
+    rng = random.Random(17)
+    records = []
+    for i in range(500):
+        length = rng.randrange(0, 120)
+        seq = "".join(rng.choice("ACGTN") for _ in range(length))
+        if rng.random() < 0.3:  # G-rich tails exercise the NextSeq mask
+            seq = seq[: length // 2] + "G" * (length - length // 2)
+        qual = "".join(chr(33 + rng.randint(0, 41)) for _ in range(length))
+        records.append((seq, qual))
+    buf = b"".join(
+        ("@r%d\n%s\n+\n%s\n" % (i, seq, qual)).encode()
+        for i, (seq, qual) in enumerate(records)
+    )
+    from atropos_tpu.runtime import parse_chunk
+
+    chunk = parse_chunk(buf)
+    assert chunk.n == len(records)
+
+    def scalar_nextseq(seq, qual, cutoff, base):
+        acc = best = 0
+        maxi = len(qual)
+        for j in range(len(qual) - 1, -1, -1):
+            qv = ord(qual[j]) - base
+            if seq[j] == "G":
+                qv = cutoff - 1
+            acc += cutoff - qv
+            if acc < 0:
+                break
+            if acc > best:
+                best = acc
+                maxi = j
+        return maxi
+
+    for nextseq_cut, has_q, cf, cb in (
+        (-1, 1, 10, 20), (-1, 1, 0, 0), (22, 0, 0, 0), (22, 1, 15, 20),
+        (-1, 1, 40, 40),
+    ):
+        n = chunk.n
+        wl = np.ascontiguousarray(chunk.seq_len, np.int32)
+        g_stop = np.empty(n, np.int32)
+        q_start = np.empty(n, np.int32)
+        q_stop = np.empty(n, np.int32)
+        _lib.quality_trim_windows(
+            _u8(chunk.buf),
+            _i64(np.ascontiguousarray(chunk.seq_off)),
+            _i64(np.ascontiguousarray(chunk.qual_off)),
+            _i32(wl), n, 33, nextseq_cut, has_q, cf, cb,
+            _i32(g_stop), _i32(q_start), _i32(q_stop),
+        )
+        for i, (seq, qual) in enumerate(records):
+            if len(qual) == 0:
+                assert (g_stop[i], q_start[i], q_stop[i]) == (0, 0, 0)
+                continue
+            if nextseq_cut >= 0:
+                want_g = scalar_nextseq(seq, qual, nextseq_cut, 33)
+                assert g_stop[i] == want_g, (i, "nextseq")
+                seq, qual = seq[:want_g], qual[:want_g]
+            else:
+                assert g_stop[i] == len(qual)
+            if has_q:
+                want = quality_trim_index(qual, cf, cb, base=33)
+                assert (q_start[i], q_stop[i]) == want, (i, seq, qual)
+            else:
+                assert (q_start[i], q_stop[i]) == (0, len(qual))

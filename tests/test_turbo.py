@@ -632,3 +632,26 @@ def test_turbo_overwrite_interleaved_output(tmp_path):
             assert summary.get("mode") == "turbo"
         outs[tag] = open(out).read()
     assert outs["t"] == outs["s"]
+
+
+def test_host_vs_device_qualtrim_identical(tmp_path):
+    """The host-native quality path (default) and the device quality
+    kernels (ATROPOS_TPU_HOST_QUALTRIM=0) must produce byte-identical
+    output, including the 5'-cutoff sync path."""
+    import os
+
+    infile = _write_synthetic(str(tmp_path / "in.fastq"))
+    outs = {}
+    for tag, host_q in (("host", "1"), ("device", "0")):
+        os.environ["ATROPOS_TPU_HOST_QUALTRIM"] = host_q
+        try:
+            out, _, summary = _run(
+                tmp_path,
+                ["-a", AD, "-q", "15,20", "--nextseq-trim", "22", "-m", "14"],
+                infile, "hq-" + tag, turbo=True,
+            )
+        finally:
+            os.environ.pop("ATROPOS_TPU_HOST_QUALTRIM", None)
+        assert summary.get("mode") == "turbo"
+        outs[tag] = open(out).read()
+    assert outs["host"] == outs["device"]
