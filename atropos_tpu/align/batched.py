@@ -801,6 +801,122 @@ def _diagonal_match_counts(refs_T, queries_T, lengths_row):
     return counts  # [W, B]
 
 
+#: candidate slots carried per pair in the fused-step wire format; pairs
+#: with more candidates (rare: requires many admissible diagonals) set an
+#: overflow condition and are reconstructed host-side from recomputed
+#: counts
+INSERT_CANDIDATE_SLOTS = 16
+
+
+def insert_candidate_slots(
+    counts, m_col, ref_plane, query_plane, err, min_overlap, max_matches,
+    n_slots=INSERT_CANDIDATE_SLOTS,
+):
+    """Traced (device) twin of :meth:`BatchInsertMatcher.candidate_arrays`
+    emitting a fixed-size wire format instead of the full counts plane.
+
+    The full [W, B] counts plane is ~1 byte per diagonal per pair on the
+    link; real pairs emit O(1) candidates, so the candidate stream itself
+    is the natural wire format. This computes the EXACT candidate stream
+    (band reach, admissibility, exact-match collapse, max_matches cap —
+    integer-for-integer the host reconstruction, with the float
+    ``int(err*m)`` thresholds baked in as static host-computed step
+    tables) and returns:
+
+    - ``slots`` [n_slots, B] int32: candidate c in stream order (s
+      descending), packed ``(s+1) | count << 8`` biased by -32768 to
+      survive the int16 bundle; 0-slot = no candidate.
+    - ``meta`` [3, B] int32: [n_cand; final_s + 512*final_ok;
+      final_count] — the final-column re-record (emitted after all
+      candidates when present).
+
+    Requires ``W <= 255`` (s and counts fit a byte). Pairs with
+    ``n_cand > n_slots`` must be reconstructed host-side (the resolver
+    recomputes their counts from the byte planes).
+    """
+    W, B = counts.shape
+    tab = np.array([int(np.floor(s * err)) for s in range(W + 1)], np.int32)
+    bounds = [s for s in range(1, W + 1) if tab[s] > tab[s - 1]]
+
+    def thresh_of(length):
+        out = jnp.full(length.shape, int(tab[0]), jnp.int32)
+        for b in bounds:
+            out = out + (length >= b).astype(jnp.int32) * int(
+                tab[b] - tab[b - 1]
+            )
+        return out
+
+    s_idx = jnp.arange(W, dtype=jnp.int32)[:, None]
+    m_row = m_col[None, :].astype(jnp.int32)
+    size = m_row - s_idx
+    in_range = size > 0
+    cost = jnp.where(in_range, size - counts, 0)
+    k_col = thresh_of(m_row)
+
+    # bottom-row mismatch of each diagonal (device twin of the host
+    # byte compare in candidate_arrays)
+    w_r = ref_plane.shape[1]
+    last_idx = jnp.clip(m_col - 1, 0, w_r - 1)[:, None]
+    last_ref = jnp.take_along_axis(ref_plane, last_idx, axis=1)  # [B,1]
+    q_idx = jnp.clip(
+        m_col[:, None] - 1 - jnp.arange(W, dtype=jnp.int32)[None, :],
+        0, query_plane.shape[1] - 1,
+    )
+    q_last = jnp.take_along_axis(query_plane, q_idx, axis=1)  # [B, W]
+    mm_last = (q_last.T != last_ref[:, 0][None, :]).astype(jnp.int32)
+
+    alive_bot = in_range & (cost <= k_col)
+    alive_bot_ext = alive_bot | ~in_range
+    alive_m1 = in_range & ((cost - mm_last) <= k_col)
+    reach = jnp.concatenate(
+        [alive_bot_ext[1:], jnp.ones((1, B), bool)], axis=0
+    )
+    reach = (reach | alive_m1) & in_range
+    rec = (
+        reach
+        & alive_bot
+        & (size >= min_overlap)
+        & (cost <= thresh_of(jnp.clip(size, 0, W)))
+    )
+    rec_i = rec.astype(jnp.int32)
+    prefix_incl = jnp.cumsum(rec_i, axis=0)
+    total = prefix_incl[-1:]
+    rank = total - prefix_incl
+    exact = rec[0:1] & (cost[0:1] == 0) & (rank[0:1] < max_matches)
+    kept = rec & (rank < max_matches)
+    cand = jnp.where(exact, (s_idx == 0) & rec, kept)
+    rank = jnp.where(exact, 0, rank)
+    n_cand = jnp.sum(cand.astype(jnp.int32), axis=0)
+
+    slot_rows = []
+    for c in range(n_slots):
+        pick = cand & (rank == c)
+        s_c = jnp.max(jnp.where(pick, s_idx, -1), axis=0)
+        cnt_c = jnp.max(jnp.where(pick, counts, 0), axis=0)
+        val = jnp.where(s_c >= 0, (s_c + 1) | (cnt_c << 8), 0) - 32768
+        slot_rows.append(val[None, :])
+    slots = jnp.concatenate(slot_rows, axis=0)
+
+    broke = exact[0] | (total[0] >= max_matches)
+    any_reach = jnp.any(reach, axis=0)
+    first_reach = jnp.argmax(reach, axis=0).astype(jnp.int32)
+    s_f = jnp.where(any_reach, first_reach, jnp.maximum(m_col - 1, 0))
+    onehot_f = s_idx == s_f[None, :]
+    cost_f = jnp.sum(jnp.where(onehot_f, cost, 0), axis=0)
+    size_f = jnp.sum(jnp.where(onehot_f, size, 0), axis=0)
+    count_f = jnp.sum(jnp.where(onehot_f, counts, 0), axis=0)
+    final_ok = (
+        (~broke)
+        & (m_col > 0)
+        & (size_f >= min_overlap)
+        & (cost_f <= thresh_of(jnp.clip(size_f, 0, W)))
+    )
+    meta = jnp.stack(
+        [n_cand, s_f + jnp.where(final_ok, 512, 0), count_f]
+    ).astype(jnp.int32)
+    return slots, meta
+
+
 class BatchInsertMatcher:
     """Variable-length batched equivalent of ``MultiAligner.locate`` for
     the paired-end insert configuration (flags START_WITHIN_SEQ1 |

@@ -79,6 +79,11 @@ from atropos_tpu import runtime
 
 _UPPER_LUT = None
 
+#: telemetry: pairs whose insert-candidate stream exceeded the fixed
+#: wire slots and took the host-recompute path (tests assert the
+#: overflow machinery actually runs)
+SLOT_OVERFLOWS = {"pairs": 0}
+
 
 def _upper(arr):
     global _UPPER_LUT
@@ -1710,34 +1715,33 @@ class _InsertPair:
             rows = rows1 + rows2
             for extra in extras1 + extras2:
                 rows.append(extra[None, :].astype(jnp.int32))
+            query_plane = plane1[:, :w_ins]
             if packed_matcher is not None:
-                # packed kernel: 4 byte-counts per int32 word; split into
-                # the SAME biased int16 wire rows as the generic path
-                # (row 2o = counts 4o,4o+1; row 2o+1 = counts 4o+2,4o+3)
-                pc = packed_matcher.counts_packed(
-                    ref_plane.T, plane1[:, :w_ins].T, m_col[None, :]
+                counts = packed_matcher.counts(
+                    ref_plane.T, query_plane.T, m_col[None, :]
                 )
-                low = (pc & 0xFFFF) - 32768
-                high = (jnp.right_shift(pc, 16) & 0xFFFF) - 32768
-                c16 = jnp.stack([low, high], axis=1).reshape(
-                    2 * pc.shape[0], pc.shape[1]
-                )
-                rows.append(c16[: (w_ins + 1) // 2])
             else:
                 counts = counts_core(
-                    ref_plane.T, plane1[:, :w_ins].T, m_col[None, :]
+                    ref_plane.T, query_plane.T, m_col[None, :]
                 )
-                if w_ins <= 255:
-                    # counts fit a byte: pack two diagonals per int16 row
-                    # (biased into int16 range to survive the bundle clip)
-                    c = counts
-                    if w_ins % 2:
-                        c = jnp.concatenate(
-                            [c, jnp.zeros((1, c.shape[1]), c.dtype)]
-                        )
-                    rows.append((c[0::2] | (c[1::2] << 8)) - 32768)
-                else:
-                    rows.append(counts)
+            if w_ins <= 255:
+                # on-device candidate reconstruction: only the fixed-size
+                # candidate stream crosses the link (~36 B/pair), not the
+                # full counts plane (~w_ins B/pair)
+                from atropos_tpu.align.batched import (
+                    insert_candidate_slots,
+                )
+
+                slots, meta = insert_candidate_slots(
+                    counts, m_col, ref_plane, query_plane,
+                    self.matcher.max_error_rate,
+                    self.matcher.min_overlap,
+                    self.matcher.max_matches,
+                )
+                rows.append(slots)
+                rows.append(meta)
+            else:
+                rows.append(counts)
             if sharded:
                 rows.append(
                     _MateLane._stats_rows(jax, jnp, rows, 2, m_col)
@@ -1797,14 +1801,23 @@ class _InsertPair:
         cursor += n2e
         w_ins = min(tok1.width, tok2.width)
         if w_ins <= 255:
-            n_rows = (w_ins + 1) // 2
-            packed = arr[cursor : cursor + n_rows] + 32768
-            counts = np.empty((n_rows * 2, batch), np.int32)
-            counts[0::2] = packed & 0xFF
-            counts[1::2] = packed >> 8
-            counts = counts[:w_ins]
+            from atropos_tpu.align.batched import INSERT_CANDIDATE_SLOTS
+
+            n_slots = INSERT_CANDIDATE_SLOTS
+            vals = arr[cursor : cursor + n_slots] + 32768
+            meta = arr[cursor + n_slots : cursor + n_slots + 3]
+            has_final = meta[1] >= 512
+            cd = dict(
+                kind="slots",
+                s=(vals & 0xFF) - 1,
+                cnt=vals >> 8,
+                n_cand=meta[0],
+                final_ok=has_final,
+                final_s=meta[1] - np.where(has_final, 512, 0),
+                final_cnt=meta[2],
+            )
         else:
-            counts = arr[cursor : cursor + w_ins]
+            cd = dict(kind="counts", counts=arr[cursor : cursor + w_ins])
 
         if self._sharded:
             from atropos_tpu.parallel import SHARD_COUNTS
@@ -1818,7 +1831,7 @@ class _InsertPair:
         res1 = self._mate_res(lane1, arr[0:7], wl1)
         res2 = self._mate_res(lane2, arr[7:14], wl2)
 
-        sel = self._select(counts, tok1, tok2, wl1, wl2)
+        sel = self._select(cd, tok1, tok2, wl1, wl2)
         m1, m2, info = self._combine(sel, res1, res2, wl1, wl2)
         len1_eff, len2_eff = wl1, wl2
         corr1 = corr2 = None
@@ -1898,13 +1911,96 @@ class _InsertPair:
         matches = (eq & valid).sum(axis=1).astype(np.int64)
         return lens - matches, matches
 
-    def _select(self, counts, tok1, tok2, wl1, wl2):
+    def _host_planes(self, tok1, tok2, m_eff, w_ins):
+        """Host byte planes matching the device matcher inputs exactly
+        (ref = reversed complemented mate2 window, query = mate1)."""
+        batch = tok1.batch
+        comp2 = _complement_lut()[tok2.seqs[:batch]]
+        t = np.arange(w_ins)
+        idx = np.clip(m_eff[:, None] - 1 - t[None, :], 0, tok2.width - 1)
+        refs = np.take_along_axis(comp2[:, : tok2.width], idx, axis=1)
+        refs = np.where(t[None, :] < m_eff[:, None], refs, 0).astype(np.uint8)
+        query = np.ascontiguousarray(tok1.seqs[:batch, :w_ins])
+        return refs, query
+
+    @staticmethod
+    def _host_counts(refs, query, m_eff):
+        """numpy twin of ``_diagonal_match_counts`` for the (rare)
+        slot-overflow pairs."""
+        n_rows, W = query.shape
+        counts = np.zeros((W, n_rows), np.int32)
+        t_full = np.arange(W)
+        for s in range(W):
+            span = W - s
+            eq = refs[:, s : s + span] == query[:, :span]
+            valid = t_full[:span][None, :] < (m_eff[:, None] - s)
+            counts[s] = (eq & valid).sum(axis=1)
+        return counts
+
+    def _assemble_candidates(self, cd, tok1, tok2, m_eff, w_ins):
+        """The per-pair candidate stream as flat arrays
+        (s, pair, stream-rank, match count, is_final), from either the
+        device-reconstructed slots (overflow pairs recomputed host-side)
+        or a full counts plane (legacy wide-read path)."""
+        if cd["kind"] == "counts":
+            counts = cd["counts"]
+            refs, query = self._host_planes(tok1, tok2, m_eff, w_ins)
+            arrs = self.matcher.candidate_arrays(counts, refs, query, m_eff)
+            ss, bs = np.nonzero(arrs["cand"])
+            fb = np.nonzero(arrs["final_ok"])[0]
+            fs = arrs["final_s"][fb]
+            s_list = [ss, fs]
+            b_list = [bs, fb]
+            r_list = [arrs["rank"][ss, bs], arrs["n_cand"][fb]]
+            mt_list = [counts[ss, bs], counts[fs, fb]]
+            fin_list = [np.zeros(ss.size, bool), np.ones(fb.size, bool)]
+        else:
+            n_slots = cd["s"].shape[0]
+            overflow = cd["n_cand"] > n_slots
+            present = (cd["s"] >= 0) & ~overflow[None, :]
+            cs, bs = np.nonzero(present)
+            f_mask = cd["final_ok"] & ~overflow
+            fb = np.nonzero(f_mask)[0]
+            s_list = [cd["s"][cs, bs], cd["final_s"][fb]]
+            b_list = [bs, fb]
+            r_list = [cs, cd["n_cand"][fb]]
+            mt_list = [cd["cnt"][cs, bs], cd["final_cnt"][fb]]
+            fin_list = [np.zeros(cs.size, bool), np.ones(fb.size, bool)]
+            orows = np.nonzero(overflow)[0]
+            if orows.size:
+                SLOT_OVERFLOWS["pairs"] += int(orows.size)
+                refs, query = self._host_planes(tok1, tok2, m_eff, w_ins)
+                refs_o = refs[orows]
+                query_o = query[orows]
+                m_o = m_eff[orows]
+                counts_o = self._host_counts(refs_o, query_o, m_o)
+                arrs = self.matcher.candidate_arrays(
+                    counts_o, refs_o, query_o, m_o
+                )
+                ss2, bs2 = np.nonzero(arrs["cand"])
+                fb2 = np.nonzero(arrs["final_ok"])[0]
+                fs2 = arrs["final_s"][fb2]
+                s_list += [ss2, fs2]
+                b_list += [orows[bs2], orows[fb2]]
+                r_list += [arrs["rank"][ss2, bs2], arrs["n_cand"][fb2]]
+                mt_list += [counts_o[ss2, bs2], counts_o[fs2, fb2]]
+                fin_list += [
+                    np.zeros(ss2.size, bool), np.ones(fb2.size, bool),
+                ]
+        s_all = np.concatenate(s_list).astype(np.int64)
+        b_all = np.concatenate(b_list).astype(np.int64)
+        rank_all = np.concatenate(r_list).astype(np.int64)
+        mt = np.concatenate(mt_list).astype(np.int64)
+        is_final = np.concatenate(fin_list)
+        return s_all, b_all, rank_all, mt, is_final
+
+    def _select(self, cd, tok1, tok2, wl1, wl2):
         """Per-pair insert-candidate selection: RMP filter, sort by
         probability (stream order on ties), first candidate surviving
         the overhang-adapter checks wins (``match_insert`` semantics)."""
         batch = tok1.batch
         aligner = self.aligner
-        w_ins = counts.shape[0]
+        w_ins = min(tok1.width, tok2.width)
         out = dict(
             has=np.zeros(batch, bool),
             only=np.zeros(batch, bool),
@@ -1923,39 +2019,22 @@ class _InsertPair:
         if not m_eff.any():
             return out
 
-        # host byte planes matching the device counts exactly
-        comp2 = _complement_lut()[tok2.seqs[:batch]]
-        t = np.arange(w_ins)
-        idx = np.clip(m_eff[:, None] - 1 - t[None, :], 0, tok2.width - 1)
-        refs = np.take_along_axis(comp2[:, : tok2.width], idx, axis=1)
-        refs = np.where(t[None, :] < m_eff[:, None], refs, 0).astype(np.uint8)
-        query = np.ascontiguousarray(tok1.seqs[:batch, :w_ins])
-        arrs = self.matcher.candidate_arrays(counts, refs, query, m_eff)
-
-        ss, bs = np.nonzero(arrs["cand"])
-        fb = np.nonzero(arrs["final_ok"])[0]
-        if ss.size == 0 and fb.size == 0:
-            return out
-        s_all = np.concatenate([ss, arrs["final_s"][fb]]).astype(np.int64)
-        b_all = np.concatenate([bs, fb]).astype(np.int64)
-        is_final = np.concatenate(
-            [np.zeros(ss.size, bool), np.ones(fb.size, bool)]
+        s_all, b_all, rank_all, mt, is_final = self._assemble_candidates(
+            cd, tok1, tok2, m_eff, w_ins
         )
-        rank_all = np.concatenate(
-            [arrs["rank"][ss, bs], arrs["n_cand"][fb]]
-        ).astype(np.int64)
+        if s_all.size == 0:
+            return out
         m_all = m_eff[b_all]
         qstop = np.where(is_final, m_all, m_all - s_all)
         offset = np.minimum(s_all, m_all - qstop)
         ims = m_all - offset
-        mt = counts[s_all, b_all].astype(np.int64)
         prob = self._rmp_bulk(mt, ims, aligner.base_probs)
         keep = prob <= aligner.insert_max_rmp
         if not keep.any():
             return out
-        s_all, b_all, rank_all, offset, ims, prob, qstop = (
+        s_all, b_all, rank_all, offset, ims, prob, qstop, mt = (
             a[keep]
-            for a in (s_all, b_all, rank_all, offset, ims, prob, qstop)
+            for a in (s_all, b_all, rank_all, offset, ims, prob, qstop, mt)
         )
 
         # _match evaluation per candidate (align/__init__.py:240-284)
@@ -1994,7 +2073,7 @@ class _InsertPair:
         # the candidate's mismatch count over the truncated overlap
         sel_s = s_all[rowsel]
         sel_b = b_all[rowsel]
-        out["cost"][has] = ims[rowsel] - counts[sel_s, sel_b]
+        out["cost"][has] = ims[rowsel] - mt[rowsel]
         out["r1e"][has] = qstop[rowsel]
         out["r2e"][has] = m_eff[sel_b] - sel_s
         return out

@@ -655,3 +655,48 @@ def test_host_vs_device_qualtrim_identical(tmp_path):
         assert summary.get("mode") == "turbo"
         outs[tag] = open(out).read()
     assert outs["host"] == outs["device"]
+
+
+def test_turbo_insert_slot_overflow_matches_scalar(tmp_path):
+    """Pairs whose candidate stream exceeds the fixed wire slots (here:
+    near-poly-A pairs where ~95 diagonals are admissible) take the
+    host-recompute overflow path and must stay byte-identical."""
+    rng = random.Random(41)
+    in1 = str(tmp_path / "ov.1.fastq")
+    in2 = str(tmp_path / "ov.2.fastq")
+    with open(in1, "w") as o1, open(in2, "w") as o2:
+        for i in range(200):
+            if i % 3 == 0:
+                # poly-A insert with one planted mismatch: no exact-match
+                # collapse at s=0, dozens of admissible diagonals
+                seq1 = list("A" * 100)
+                seq1[rng.randrange(20, 80)] = "C"
+                seq1 = "".join(seq1)
+                seq2 = "T" * 100
+            else:
+                ilen = rng.randrange(30, 150)
+                ins = "".join(rng.choice("ACGT") for _ in range(ilen))
+                seq1 = (ins + ADAPTER + "A" * 100)[:100]
+                rc = ins.translate(_COMP_TABLE)[::-1]
+                seq2 = (rc + ADAPTER2 + "A" * 100)[:100]
+            q1 = "".join(chr(33 + rng.randint(2, 40)) for _ in seq1)
+            q2 = "".join(chr(33 + rng.randint(2, 40)) for _ in seq2)
+            o1.write("@ov{}/1\n{}\n+\n{}\n".format(i, seq1, q1))
+            o2.write("@ov{}/2\n{}\n+\n{}\n".format(i, seq2, q2))
+
+    from atropos_tpu.engine import turbo as turbo_mod
+
+    config = ["-a", AD, "-A", AD2, "--aligner", "insert", "-q", "20"]
+    outs = {}
+    before = turbo_mod.SLOT_OVERFLOWS["pairs"]
+    for turbo in (False, True):
+        tag = "t" if turbo else "s"
+        o1x, o2x, _, summary = _run_paired(
+            tmp_path, config, in1, in2, "ovf-" + tag, turbo=turbo
+        )
+        if turbo:
+            assert summary.get("mode") == "turbo"
+        outs[tag] = (open(o1x).read(), open(o2x).read())
+    assert outs["t"] == outs["s"]
+    # prove the overflow machinery actually exercised
+    assert turbo_mod.SLOT_OVERFLOWS["pairs"] > before
