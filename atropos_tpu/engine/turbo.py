@@ -522,6 +522,54 @@ class _MateLane:
 
     # -- device step builder --------------------------------------------------
 
+    def res_rows(self, width):
+        """Bundle rows per device-aligner result: 3 when every field
+        fits the packed layout (coords <= 255, cost <= 63 when found),
+        else the flat 7. Static per compiled step; the resolver derives
+        the same predicate from (width, adapter params)."""
+        if width > 255:
+            return 7
+        for idx, adapter in enumerate(self.adapters):
+            if idx in self._matchers:
+                continue
+            m = len(adapter.sequence)
+            if m > 255 or int(adapter.max_error_rate * m) > 63:
+                return 7
+        return 3
+
+    @staticmethod
+    def _pack_res_rows(jnp, out7):
+        """[7, B] aligner result -> [3, B] packed rows (int16-safe):
+        rowA = start1 | stop1<<8 (biased), rowB = start2 | stop2<<8
+        (biased), rowC = found | matches<<1 | cost<<9 (<= 32767).
+        Unfound lanes may carry out-of-field costs — clipped here; every
+        consumer is gated on ``found``."""
+        row_a = (out7[1] | (out7[2] << 8)) - 32768
+        row_b = (out7[3] | (out7[4] << 8)) - 32768
+        found = out7[0] & 1
+        row_c = (
+            found
+            | (jnp.clip(out7[5], 0, 255) << 1)
+            | (jnp.clip(out7[6], 0, 63) << 9)
+        )
+        return jnp.stack([row_a, row_b, row_c])
+
+    @staticmethod
+    def _unpack_res_rows(rows3):
+        """Host inverse of :meth:`_pack_res_rows` -> result dict arrays."""
+        row_a = rows3[0] + 32768
+        row_b = rows3[1] + 32768
+        row_c = rows3[2]
+        return dict(
+            found=(row_c & 1).astype(bool),
+            start1=row_a & 0xFF,
+            stop1=row_a >> 8,
+            start2=row_b & 0xFF,
+            stop2=row_b >> 8,
+            matches=(row_c >> 1) & 0xFF,
+            cost=row_c >> 9,
+        )
+
     @staticmethod
     def _stats_rows(jax, jnp, rows, n_aligners, win_len):
         """Sharded-mode collective statistics: the per-shard match count
@@ -534,7 +582,10 @@ class _MateLane:
 
         found_any = jnp.zeros(win_len.shape, bool)
         for block in rows[:n_aligners]:
-            found_any = found_any | (block[0, :] > 0)
+            if block.shape[0] == 3:  # packed result rows: found = bit 0
+                found_any = found_any | ((block[2, :] & 1) > 0)
+            else:
+                found_any = found_any | (block[0, :] > 0)
         found_any = found_any & (win_len > 0)
         matched = jax.lax.psum(
             jnp.sum(found_any.astype(jnp.int32)), READS_AXIS
@@ -675,13 +726,13 @@ class _MateLane:
 
         rows = []
         reads_T = {}
+        pack3 = self.res_rows(width) == 3
         for i, aligner in enumerate(self._aligners):
-            rows.append(
-                self._aligner_rows(
-                    jnp, aligner, aligner_mat(i), win_len, reads_T,
-                    cache_key(i),
-                )
+            out7 = self._aligner_rows(
+                jnp, aligner, aligner_mat(i), win_len, reads_T,
+                cache_key(i),
             )
+            rows.append(self._pack_res_rows(jnp, out7) if pack3 else out7)
         plane = plane_fn() if need_plane else None
         return rows, extras, win_len, plane
 
@@ -1035,7 +1086,8 @@ class _MateLane:
         keep_start = tok.keep_start
         keep_stop = tok.keep_stop
         n_adapt = len(self._aligners)
-        cursor = 7 * n_adapt
+        rpa = self.res_rows(tok.width)  # bundle rows per aligner result
+        cursor = rpa * n_adapt
 
         if tok.host_q:
             # sync 5'-cutoff path: quality windows and their stats were
@@ -1089,17 +1141,20 @@ class _MateLane:
                         & rate_ok
                     )
                 else:
-                    rows = arr[7 * dev_i : 7 * dev_i + 7]
+                    rows = arr[rpa * dev_i : rpa * dev_i + rpa]
                     dev_i += 1
-                    res = dict(
-                        found=rows[0].astype(bool),
-                        start1=rows[1],
-                        stop1=rows[2],
-                        start2=rows[3],
-                        stop2=rows[4],
-                        matches=rows[5],
-                        cost=rows[6],
-                    )
+                    if rpa == 3:
+                        res = self._unpack_res_rows(rows)
+                    else:
+                        res = dict(
+                            found=rows[0].astype(bool),
+                            start1=rows[1],
+                            stop1=rows[2],
+                            start2=rows[3],
+                            stop2=rows[4],
+                            matches=rows[5],
+                            cost=rows[6],
+                        )
                 res["found"] = res["found"] & (win_len > 0)
                 res = self._validate(adapter_idx, res)
                 if best is None:
@@ -1784,7 +1839,9 @@ class _InsertPair:
         arr = np.asarray(ptok.bundle).astype(np.int32)[:, :batch]
         lane1, lane2 = self.lane1, self.lane2
 
-        cursor = 14
+        rpa1 = lane1.res_rows(tok1.width)
+        rpa2 = lane2.res_rows(tok2.width)
+        cursor = rpa1 + rpa2
         n1e = self._n_extras(lane1, tok1)
         ks1, kp1 = tok1.keep_start, tok1.keep_stop
         if n1e:
@@ -1828,8 +1885,8 @@ class _InsertPair:
 
         wl1 = kp1 - ks1
         wl2 = kp2 - ks2
-        res1 = self._mate_res(lane1, arr[0:7], wl1)
-        res2 = self._mate_res(lane2, arr[7:14], wl2)
+        res1 = self._mate_res(lane1, arr[0:rpa1], wl1)
+        res2 = self._mate_res(lane2, arr[rpa1 : rpa1 + rpa2], wl2)
 
         sel = self._select(cd, tok1, tok2, wl1, wl2)
         m1, m2, info = self._combine(sel, res1, res2, wl1, wl2)
@@ -1866,15 +1923,18 @@ class _InsertPair:
     def _mate_res(lane, rows, wl):
         """The mate's fallback adapter result with match_to validation
         (in-kernel overlap/error gates + the host max_rmp gate)."""
-        res = dict(
-            found=rows[0].astype(bool),
-            start1=rows[1],
-            stop1=rows[2],
-            start2=rows[3],
-            stop2=rows[4],
-            matches=rows[5],
-            cost=rows[6],
-        )
+        if rows.shape[0] == 3:
+            res = _MateLane._unpack_res_rows(rows)
+        else:
+            res = dict(
+                found=rows[0].astype(bool),
+                start1=rows[1],
+                stop1=rows[2],
+                start2=rows[3],
+                stop2=rows[4],
+                matches=rows[5],
+                cost=rows[6],
+            )
         res["found"] = res["found"] & (wl > 0)
         return lane._validate(0, res)
 
