@@ -296,7 +296,12 @@ class BaseCommandParser:
     def _derive_sample_id(options):
         """Sample id = input basename without extensions; for pairs, the
         common prefix of both names (reference behavior, one trailing
-        dot stripped)."""
+        dot stripped). SRA streams have no file name — the reader's name
+        (the accession) is the sample id (ref commands/cli.py:306-308)."""
+        if getattr(options, "sra_reader", None):
+            return getattr(
+                options.sra_reader, "name", options.sra_accession
+            )
         fname = os.path.basename(options.input1 or options.interleaved_input)
         name = splitext_compressed(fname)[0]
         if options.input2:

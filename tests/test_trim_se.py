@@ -15,6 +15,7 @@ from .conformance_utils import (
     cutpath,
     datapath,
     run_trim,
+    tracked_execute,
 )
 
 
@@ -630,3 +631,66 @@ def test_sra(tmp_path):
         "SRR2040662_trimmed.fq",
         sra_accn="SRR2040662",
     )
+
+
+def test_sra_stubbed_reader(tmp_path, monkeypatch):
+    """Drive the -sra accession path end-to-end with a stub srastream
+    module (the real library needs network; the stub proves OUR wiring:
+    _open_sra, SraSequenceReader, paired detection, finish()). Output
+    must equal trimming the same records from a plain FASTQ."""
+    import sys
+    import types
+
+    records = [
+        ("r{}".format(i), "ACGT" * 10 + "TTAGACATATCTCCGTCG", "I" * 58)
+        for i in range(20)
+    ]
+
+    class FakeSraReader:
+        paired = False
+        finished = 0
+
+        def __init__(self, accession, batch_size=1000):
+            self.accession = accession
+
+        def start(self):
+            pass
+
+        def finish(self):
+            FakeSraReader.finished += 1
+
+        def __iter__(self):
+            return iter([[rec] for rec in records])
+
+    fake = types.ModuleType("srastream")
+    fake.SraReader = FakeSraReader
+    monkeypatch.setitem(sys.modules, "srastream", fake)
+
+    out_sra = str(tmp_path / "sra.fastq")
+    retcode, summary = tracked_execute(
+        [
+            "-b", "TTAGACATATCTCCGTCG",
+            "-sra", "FAKE000", "-o", out_sra,
+            "--no-cache-adapters", "--no-default-adapters", "--quiet",
+            "--report-file", str(tmp_path / "r1.txt"),
+        ]
+    )
+    assert retcode == 0
+    assert FakeSraReader.finished == 1
+
+    # same records from a plain FASTQ must trim identically
+    plain = str(tmp_path / "plain.fastq")
+    with open(plain, "w") as fh:
+        for name, seq, qual in records:
+            fh.write("@{}\n{}\n+\n{}\n".format(name, seq, qual))
+    out_plain = str(tmp_path / "plain-out.fastq")
+    retcode, _ = tracked_execute(
+        [
+            "-b", "TTAGACATATCTCCGTCG",
+            "-se", plain, "-o", out_plain,
+            "--no-cache-adapters", "--no-default-adapters", "--quiet",
+            "--report-file", str(tmp_path / "r2.txt"),
+        ]
+    )
+    assert retcode == 0
+    assert open(out_sra).read() == open(out_plain).read()
