@@ -617,3 +617,70 @@ def test_interleaved_no_paired_output(tmp_path):
                 "--quiet", "--no-cache-adapters", "--no-default-adapters",
             ]
         )
+
+
+def test_sra_stubbed_paired_reader(tmp_path, monkeypatch):
+    """Paired -sra stream via a stub srastream reader: paired mode is
+    adopted from the reader, and output equals trimming the same pairs
+    from plain FASTQs."""
+    import sys
+    import types
+
+    pairs = [
+        (
+            ("p{}".format(i), "ACGT" * 12 + "TTAGACATATCTCCGTCG", "I" * 66),
+            ("p{}".format(i), "TGCA" * 12 + "CAGTGGAGTTCAGACGTG", "I" * 66),
+        )
+        for i in range(15)
+    ]
+
+    class FakeSraReader:
+        paired = True
+
+        def __init__(self, accession, batch_size=1000):
+            pass
+
+        def start(self):
+            pass
+
+        def finish(self):
+            pass
+
+        def __iter__(self):
+            return iter([list(pair) for pair in pairs])
+
+    fake = types.ModuleType("srastream")
+    fake.SraReader = FakeSraReader
+    monkeypatch.setitem(sys.modules, "srastream", fake)
+
+    o1 = str(tmp_path / "sra.1.fastq")
+    o2 = str(tmp_path / "sra.2.fastq")
+    retcode, summary = tracked_execute(
+        [
+            "-b", "TTAGACATATCTCCGTCG", "-B", "CAGTGGAGTTCAGACGTG",
+            "-sra", "FAKE001", "-o", o1, "-p", o2,
+            "--no-cache-adapters", "--no-default-adapters", "--quiet",
+            "--report-file", str(tmp_path / "r1.txt"),
+        ]
+    )
+    assert retcode == 0
+
+    in1 = str(tmp_path / "plain.1.fastq")
+    in2 = str(tmp_path / "plain.2.fastq")
+    with open(in1, "w") as f1, open(in2, "w") as f2:
+        for frag1, frag2 in pairs:
+            f1.write("@{}\n{}\n+\n{}\n".format(*frag1))
+            f2.write("@{}\n{}\n+\n{}\n".format(*frag2))
+    p1 = str(tmp_path / "plain-out.1.fastq")
+    p2 = str(tmp_path / "plain-out.2.fastq")
+    retcode, _ = tracked_execute(
+        [
+            "-b", "TTAGACATATCTCCGTCG", "-B", "CAGTGGAGTTCAGACGTG",
+            "-pe1", in1, "-pe2", in2, "-o", p1, "-p", p2,
+            "--no-cache-adapters", "--no-default-adapters", "--quiet",
+            "--report-file", str(tmp_path / "r2.txt"),
+        ]
+    )
+    assert retcode == 0
+    assert open(o1).read() == open(p1).read()
+    assert open(o2).read() == open(p2).read()
