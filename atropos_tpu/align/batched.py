@@ -801,11 +801,12 @@ def _diagonal_match_counts(refs_T, queries_T, lengths_row):
     return counts  # [W, B]
 
 
-#: candidate slots carried per pair in the fused-step wire format; pairs
-#: with more candidates (rare: requires many admissible diagonals) set an
-#: overflow condition and are reconstructed host-side from recomputed
-#: counts
-INSERT_CANDIDATE_SLOTS = 16
+#: candidate slots carried per pair in the fused-step wire format
+#: (typical pairs emit 0-3 candidates; the dev-tunnel downlink is the
+#: weaker direction, so the wire stays lean); pairs with more candidates
+#: (rare: requires many admissible diagonals) set an overflow condition
+#: and are reconstructed host-side from recomputed counts
+INSERT_CANDIDATE_SLOTS = 8
 
 
 def insert_candidate_slots(
