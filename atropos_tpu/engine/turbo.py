@@ -2451,6 +2451,72 @@ class _InsertPair:
         return buf, seq_beg, seq_end, qual_beg
 
 
+def _gather_name_bytes(chunk, sub, width):
+    from atropos_tpu.runtime import _i32, _i64, _lib, _u8
+
+    offs = np.ascontiguousarray(chunk.name_off[sub], np.int64)
+    lens = np.ascontiguousarray(chunk.name_len[sub], np.int32)
+    out = np.zeros((offs.shape[0], width), np.uint8)
+    _lib.gather_padded(
+        _u8(chunk.buf), _i64(offs), _i32(lens),
+        offs.shape[0], width, _u8(out),
+    )
+    return out, lens
+
+
+def validate_pair_names(chunk1, sub1, chunk2, sub2, interleaved=False):
+    """Vectorized twin of ``seqio.sequence_names_match`` over whole
+    record ranges: first whitespace-delimited token, ignoring a trailing
+    1/2 mate digit; raises the scalar reader's FormatError on the first
+    improperly-paired record."""
+    from atropos_tpu.io.seqio import FormatError
+
+    width = int(
+        max(
+            chunk1.name_len[sub1].max(initial=1),
+            chunk2.name_len[sub2].max(initial=1),
+        )
+    )
+    a1, len1 = _gather_name_bytes(chunk1, sub1, width)
+    a2, len2 = _gather_name_bytes(chunk2, sub2, width)
+    idx = np.arange(width, dtype=np.int32)[None, :]
+
+    def token_len(arr, lens):
+        ws = ((arr == 32) | (arr == 9)) & (idx < lens[:, None])
+        has = ws.any(axis=1)
+        first = np.where(has, ws.argmax(axis=1), lens)
+        return first.astype(np.int32)
+
+    t1 = token_len(a1, len1)
+    t2 = token_len(a2, len2)
+    diff = a1 != a2
+    has_diff = diff.any(axis=1)
+    mismatch_at = np.where(has_diff, diff.argmax(axis=1), width)
+    ok_full = (t1 == t2) & (mismatch_at >= t1)
+    last1 = a1[np.arange(a1.shape[0]), np.maximum(t1 - 1, 0)]
+    last2 = a2[np.arange(a2.shape[0]), np.maximum(t2 - 1, 0)]
+    both_12 = (
+        (t1 > 0) & (t2 > 0)
+        & ((last1 == ord("1")) | (last1 == ord("2")))
+        & ((last2 == ord("1")) | (last2 == ord("2")))
+    )
+    ok_strip = both_12 & (t1 == t2) & (mismatch_at >= t1 - 1)
+    bad = ~(ok_full | ok_strip)
+    if bad.any():
+        row = int(np.nonzero(bad)[0][0])
+        name1 = a1[row, : len1[row]].tobytes().decode("latin-1")
+        name2 = a2[row, : len2[row]].tobytes().decode("latin-1")
+        if interleaved:
+            raise FormatError(
+                "Reads are improperly paired. Name {0!r} (first) does "
+                "not match {1!r} (second).".format(name1, name2)
+            )
+        raise FormatError(
+            "Reads are improperly paired. Read name '{0}' in file 1 "
+            "does not match '{1}' in file 2.".format(name1, name2)
+        )
+
+
 def _record_byte_lengths(chunk, sub, keep_start, keep_stop, keep, fmt,
                          alt=None):
     """Per-record output byte length for the KEPT records, matching the
@@ -3507,69 +3573,11 @@ class TurboPairedRunner(_TurboRunnerBase):
 
     # -- resolve: windows -> pair filters -> formatters ------------------------
 
-    @staticmethod
-    def _gather_names(tok, width):
-        from atropos_tpu.runtime import _i32, _i64, _lib, _u8
-
-        chunk, sub = tok.chunk, tok.sub
-        offs = np.ascontiguousarray(chunk.name_off[sub], np.int64)
-        lens = np.ascontiguousarray(chunk.name_len[sub], np.int32)
-        out = np.zeros((offs.shape[0], width), np.uint8)
-        _lib.gather_padded(
-            _u8(chunk.buf), _i64(offs), _i32(lens),
-            offs.shape[0], width, _u8(out),
-        )
-        return out, lens
-
     def _check_pair_names(self, tok1, tok2):
-        """Vectorized twin of ``seqio.sequence_names_match``: first
-        whitespace-delimited token, ignoring a trailing 1/2 mate digit."""
-        from atropos_tpu.io.seqio import FormatError
-
-        width = int(
-            max(
-                tok1.chunk.name_len[tok1.sub].max(initial=1),
-                tok2.chunk.name_len[tok2.sub].max(initial=1),
-            )
+        validate_pair_names(
+            tok1.chunk, tok1.sub, tok2.chunk, tok2.sub,
+            interleaved=bool(self.options.interleaved_input),
         )
-        a1, len1 = self._gather_names(tok1, width)
-        a2, len2 = self._gather_names(tok2, width)
-        idx = np.arange(width, dtype=np.int32)[None, :]
-
-        def token_len(arr, lens):
-            ws = ((arr == 32) | (arr == 9)) & (idx < lens[:, None])
-            has = ws.any(axis=1)
-            first = np.where(has, ws.argmax(axis=1), lens)
-            return first.astype(np.int32)
-
-        t1 = token_len(a1, len1)
-        t2 = token_len(a2, len2)
-        diff = a1 != a2
-        has_diff = diff.any(axis=1)
-        mismatch_at = np.where(has_diff, diff.argmax(axis=1), width)
-        ok_full = (t1 == t2) & (mismatch_at >= t1)
-        last1 = a1[np.arange(a1.shape[0]), np.maximum(t1 - 1, 0)]
-        last2 = a2[np.arange(a2.shape[0]), np.maximum(t2 - 1, 0)]
-        both_12 = (
-            (t1 > 0) & (t2 > 0)
-            & ((last1 == ord("1")) | (last1 == ord("2")))
-            & ((last2 == ord("1")) | (last2 == ord("2")))
-        )
-        ok_strip = both_12 & (t1 == t2) & (mismatch_at >= t1 - 1)
-        bad = ~(ok_full | ok_strip)
-        if bad.any():
-            row = int(np.nonzero(bad)[0][0])
-            name1 = a1[row, : len1[row]].tobytes().decode("latin-1")
-            name2 = a2[row, : len2[row]].tobytes().decode("latin-1")
-            if self.options.interleaved_input:
-                raise FormatError(
-                    "Reads are improperly paired. Name {0!r} (first) does "
-                    "not match {1!r} (second).".format(name1, name2)
-                )
-            raise FormatError(
-                "Reads are improperly paired. Read name '{0}' in file 1 "
-                "does not match '{1}' in file 2.".format(name1, name2)
-            )
 
     def _compute_overwrite(self, chunk1, sub1, chunk2, sub2):
         """Vectorized OverwriteRead (``-w``) pre-pass (reference

@@ -374,3 +374,88 @@ def test_detect_khmer_countgraph_branch(tmp_path, monkeypatch):
     assert [m["longest_kmer"] for m in stub_matches] == [
         m["longest_kmer"] for m in exact_matches
     ]
+
+
+def test_qc_native_matches_record_pipeline(tmp_path):
+    """The qc native-chunk fast path (parse -> collect_matrices, no
+    record objects) must produce the same summary and report as the
+    record pipeline, for SE and PE (incl. pair-name validation)."""
+    import json
+    import random
+    import re
+
+    import atropos_tpu.commands.qc as qc_mod
+
+    rng = random.Random(7)
+    in1 = str(tmp_path / "q.1.fastq")
+    in2 = str(tmp_path / "q.2.fastq")
+    for mate, path in ((1, in1), (2, in2)):
+        gen = random.Random(7)
+        with open(path, "w") as out:
+            for i in range(2000):
+                length = gen.randrange(3, 120)
+                seq = "".join(rng.choice("ACGTN") for _ in range(length))
+                qual = "".join(
+                    chr(33 + rng.randint(0, 41)) for _ in range(length)
+                )
+                out.write(
+                    "@q{}/{} x\n{}\n+\n{}\n".format(i, mate, seq, qual)
+                )
+
+    def run(args, native, tag):
+        rep = str(tmp_path / "rep-{}.txt".format(tag))
+        if not native:
+            orig = qc_mod.CommandRunner._run_native
+            qc_mod.CommandRunner._run_native = lambda self, a: None
+        try:
+            retcode, summary = get_command("qc").execute(
+                args + ["-o", rep, "--quiet"]
+            )
+        finally:
+            if not native:
+                qc_mod.CommandRunner._run_native = orig
+        assert retcode == 0, summary.get("exception")
+        return summary, rep
+
+    def clean_summary(summary):
+        out = dict(summary)
+        for key in ("timing", "mode", "threads", "options"):
+            out.pop(key, None)
+        return json.loads(json.dumps(out, default=str))
+
+    def clean_report(path):
+        drop = re.compile(
+            r"Command line|Start time|Wallclock|CPU time|report|-o "
+        )
+        return [
+            line for line in open(path).read().splitlines()
+            if not drop.search(line)
+        ]
+
+    for args in (
+        ["-se", in1],
+        ["-pe1", in1, "-pe2", in2],
+        ["-se", in1, "--max-reads", "500"],
+    ):
+        sn, rn = run(list(args), True, "n" + args[0])
+        assert sn.get("mode") == "turbo", args
+        ss, rs = run(list(args), False, "s" + args[0])
+        assert clean_summary(sn) == clean_summary(ss), args
+        assert clean_report(rn) == clean_report(rs), args
+
+
+def test_qc_native_pair_name_mismatch(tmp_path):
+    """The fast path enforces the paired-name contract like the scalar
+    reader."""
+    in1 = str(tmp_path / "m.1.fastq")
+    in2 = str(tmp_path / "m.2.fastq")
+    with open(in1, "w") as fh:
+        fh.write("@a/1\nACGT\n+\nIIII\n@b/1\nACGT\n+\nIIII\n")
+    with open(in2, "w") as fh:
+        fh.write("@a/2\nACGT\n+\nIIII\n@zzz/2\nACGT\n+\nIIII\n")
+    retcode, summary = get_command("qc").execute(
+        ["-pe1", in1, "-pe2", in2,
+         "-o", str(tmp_path / "r.txt"), "--quiet"]
+    )
+    assert retcode != 0
+    assert "improperly paired" in str(summary.get("exception"))
