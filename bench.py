@@ -406,18 +406,34 @@ def bench_end_to_end_pe(arr, aligner):
     return pairs / best
 
 
+def _guard(fn, default=0.0):
+    """Extras must never take down the headline record: a failing
+    sub-benchmark reports its default (0.0 = 'did not run') and the
+    exception goes to stderr."""
+    try:
+        return fn()
+    except Exception as exc:
+        import traceback
+
+        print("bench extra failed: %r" % (exc,), file=sys.stderr)
+        traceback.print_exc()
+        return default
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     arr = make_read_matrix(BATCH, READ_LEN, ADAPTER)
     kernel_med, kernel_best, kernel_trials = bench_kernel(arr, jax, jnp)
-    pe_pps = bench_pe_insert(jax, jnp)
-    host_single, host_all = bench_host_path()
-    e2e_pe_ins_pps = bench_end_to_end_pe(arr, "insert")
-    e2e_rps = bench_end_to_end(arr)
-    e2e_q_rps = bench_end_to_end(arr, quality_only=True)
-    e2e_pe_pps = bench_end_to_end_pe(arr, "adapter")
+    pe_pps = _guard(lambda: bench_pe_insert(jax, jnp))
+    host_single, host_all = _guard(
+        lambda: bench_host_path(), default=(0.0, 0.0)
+    )
+    e2e_pe_ins_pps = _guard(lambda: bench_end_to_end_pe(arr, "insert"))
+    e2e_rps = _guard(lambda: bench_end_to_end(arr))
+    e2e_q_rps = _guard(lambda: bench_end_to_end(arr, quality_only=True))
+    e2e_pe_pps = _guard(lambda: bench_end_to_end_pe(arr, "adapter"))
 
     print(
         json.dumps(
